@@ -1,0 +1,114 @@
+"""``mf`` — train a matrix-factorization model (reference mf.cu parity).
+
+Usage matches the reference binary (README.md:31):
+
+    python -m cu2rec_tpu.cli.mf -c path/to/config train.csv test.csv
+
+plus TPU-native extensions: ``--jsonl`` metrics stream, ``--checkpoint`` /
+``--resume`` (real mid-run resume, unlike the reference's vestigial
+``cur_iterations``), ``--devices N`` for a sharded mesh run, ``--collision``
+policy, ``--dtype``, ``--pallas``.
+
+Output contract preserved: the five component CSVs are written next to the
+train file as ``{base}_f{factors}_{p,q,user_bias,item_bias,global_bias}.csv``
+(mf.cu:63-87).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from cu2rec_tpu.data import build_csr, read_ratings_csv
+from cu2rec_tpu.train.trainer import train
+from cu2rec_tpu.utils.checkpoint import export_components, load_checkpoint, \
+    save_checkpoint
+from cu2rec_tpu.utils.config import Config
+from cu2rec_tpu.utils.device import print_free_memory
+from cu2rec_tpu.utils.metrics import MetricsLogger
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="mf", description=__doc__)
+    p.add_argument("-c", "--config", default=None, help="config file "
+                   "(legacy 9-field, extended 13-field, or JSON)")
+    p.add_argument("train_csv")
+    p.add_argument("test_csv")
+    p.add_argument("--jsonl", default=None, help="append metrics JSONL here")
+    p.add_argument("--checkpoint", default=None,
+                   help="write a resumable .npz checkpoint here at the end")
+    p.add_argument("--resume", default=None,
+                   help="resume from a .npz checkpoint")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard over this many devices (0 = single device)")
+    p.add_argument("--collision", choices=["first_wins", "mean"],
+                   default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas SGD kernel")
+    p.add_argument("--outdir", default=None,
+                   help="component output dir (default: next to train csv)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from cu2rec_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    # Free-memory probe at startup (mf.cu:33-37).
+    print_free_memory()
+
+    train_rd = read_ratings_csv(args.train_csv)
+    train_csr = build_csr(train_rd)
+    test_rd = read_ratings_csv(args.test_csv)
+    test_csr = build_csr(test_rd, n_users=None, n_items=None)
+
+    model = None
+    if args.resume:
+        model, cfg, _extra = load_checkpoint(args.resume)
+        print(f"Resuming from {args.resume} at iteration {cfg.cur_iterations}")
+    else:
+        cfg = Config()
+    if args.config:
+        # Config file overrides checkpoint hyperparams but a resumed
+        # cur_iterations survives unless the file sets it.
+        cur = cfg.cur_iterations
+        cfg.read_config(args.config)
+        if args.resume and cfg.cur_iterations == 0:
+            cfg.cur_iterations = cur
+    if args.collision:
+        cfg.collision_policy = args.collision
+    if args.dtype:
+        cfg.dtype = args.dtype
+    if args.pallas:
+        cfg.use_pallas = True
+    cfg.print_config()
+
+    logger = MetricsLogger(jsonl_path=args.jsonl)
+
+    engine = None
+    if args.devices and args.devices > 1:
+        from cu2rec_tpu.parallel.sharded import ShardedEngine
+        engine = ShardedEngine(train_csr, test_csr, cfg,
+                               n_devices=args.devices)
+
+    model, _losses = train(train_csr, test_csr, cfg, train_rd.global_bias,
+                           model=model, logger=logger, engine=engine)
+
+    # Component export next to the train file (mf.cu:63-87).
+    outdir = args.outdir or (os.path.dirname(args.train_csv) or ".")
+    base = os.path.splitext(os.path.basename(args.train_csv))[0]
+    paths = export_components(model, outdir, base, cfg.n_factors)
+    for p in paths:
+        print(f"Wrote {p}")
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, model, cfg)
+        print(f"Wrote checkpoint {args.checkpoint}")
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,134 @@
+"""Host-side CSR build + device-resident ratings container.
+
+Reference parity: ``createSparseMatrix`` (util.cu:152-179) builds CSR from
+user-sorted ratings, filling gaps for missing users by repeating indptr
+values; ``CudaCSRMatrix`` (matrix.{h,cu}) owns the device copies.
+
+TPU-native design: the CSR triplet lives as three HBM-resident ``jnp``
+arrays with static shapes.  ``row_ids`` (the expansion of indptr back to a
+per-nonzero user id) is precomputed host-side so evaluation can gather user
+rows without ragged control flow; ratings are optionally padded to a
+multiple of the eval chunk so jitted eval sees one static shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cu2rec_tpu.data.ratings import RatingsData
+
+
+@dataclass
+class CSRRatings:
+    """Host CSR ratings matrix (counts/indices int32, data float32)."""
+
+    indptr: np.ndarray    # (n_users + 1,)
+    indices: np.ndarray   # (nnz,) item ids
+    data: np.ndarray      # (nnz,) ratings
+    n_users: int
+    n_items: int
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def row_ids(self) -> np.ndarray:
+        """Per-nonzero user id (inverse of indptr)."""
+        counts = np.diff(self.indptr)
+        return np.repeat(np.arange(self.n_users, dtype=np.int32), counts)
+
+
+def build_csr(ratings: RatingsData, n_users: int | None = None,
+              n_items: int | None = None) -> CSRRatings:
+    """Build CSR from ratings sorted by user id.
+
+    Precondition (same as reference util.cu:149-150): rows sorted by userID.
+    Missing users appear as repeated indptr values (util.cu:159-164) —
+    counts+cumsum reproduces that exactly.
+    """
+    n_users = ratings.n_users if n_users is None else n_users
+    n_items = ratings.n_items if n_items is None else n_items
+    u = ratings.users
+    if u.shape[0] > 1 and np.any(np.diff(u) < 0):
+        raise ValueError("ratings must be sorted by user id (use "
+                         "cu2rec_tpu.data.sort.sort_ratings first)")
+    counts = np.bincount(u, minlength=n_users).astype(np.int64)
+    indptr = np.zeros(n_users + 1, dtype=np.int32)
+    np.cumsum(counts, out=indptr[1:])
+    return CSRRatings(
+        indptr=indptr,
+        indices=ratings.items.astype(np.int32),
+        data=ratings.ratings.astype(np.float32),
+        n_users=n_users,
+        n_items=n_items,
+    )
+
+
+def csr_from_arrays(users: np.ndarray, items: np.ndarray, data: np.ndarray,
+                    n_users: int, n_items: int) -> CSRRatings:
+    """CSR from (possibly unsorted) triplets — sorts by (user, item)."""
+    order = np.lexsort((items, users))
+    rd = RatingsData(users=users[order].astype(np.int32),
+                     items=items[order].astype(np.int32),
+                     ratings=data[order].astype(np.float32),
+                     n_users=n_users, n_items=n_items,
+                     global_bias=float(np.mean(data)) if len(data) else 0.0)
+    return build_csr(rd, n_users, n_items)
+
+
+@dataclass
+class DeviceRatings:
+    """Device-resident CSR ratings (jnp arrays; a pytree).
+
+    The TPU-native analogue of ``CudaCSRMatrix`` (matrix.h:11-18): instead
+    of raw cudaMalloc'd pointers, three jax arrays the jitted step closes
+    over.  ``row_ids`` is the indptr expansion used by evaluation.
+    """
+
+    indptr: object   # jnp (n_users+1,) int32
+    indices: object  # jnp (nnz_padded,) int32
+    data: object     # jnp (nnz_padded,) float32
+    row_ids: object  # jnp (nnz_padded,) int32
+    nnz: int         # true (unpadded) count
+    n_users: int
+    n_items: int
+
+
+def to_device(csr: CSRRatings, pad_multiple: int = 1, sharding=None) -> DeviceRatings:
+    """Upload a host CSR to the device (the H→D boundary of matrix.cu:28-40).
+
+    Padding rows carry user=0/item=0/rating=0 and are masked out by eval via
+    the true ``nnz``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nnz = csr.nnz
+    padded = -(-max(nnz, 1) // pad_multiple) * pad_multiple
+    pad = padded - nnz
+    indices = np.pad(csr.indices, (0, pad))
+    data = np.pad(csr.data, (0, pad))
+    row_ids = np.pad(csr.row_ids, (0, pad))
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else jnp.asarray
+    return DeviceRatings(
+        indptr=jnp.asarray(csr.indptr),
+        indices=put(indices),
+        data=put(data),
+        row_ids=put(row_ids),
+        nnz=nnz,
+        n_users=csr.n_users,
+        n_items=csr.n_items,
+    )
+
+
+import jax.tree_util as _jtu
+
+_jtu.register_dataclass(
+    DeviceRatings,
+    data_fields=["indptr", "indices", "data", "row_ids"],
+    meta_fields=["nnz", "n_users", "n_items"],
+)

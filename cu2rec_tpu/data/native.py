@@ -1,0 +1,99 @@
+"""ctypes loader for the native C++ ingest library.
+
+The library (cu2rec_tpu/native/ingest.cpp) is compiled on first use with the
+system g++ and cached next to its source; set CU2REC_NO_NATIVE=1 to disable
+and force the pure-NumPy fallback in cu2rec_tpu.data.ratings.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libcu2rec_ingest.so"))
+_SRC_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "ingest.cpp"))
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o",
+             _SO_PATH, _SRC_PATH, "-lpthread"],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the ingest shared library, or None."""
+    global _LIB, _TRIED
+    if os.environ.get("CU2REC_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO_PATH) or (
+                os.path.exists(_SRC_PATH)
+                and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.cu2rec_ingest_open.restype = ctypes.c_void_p
+        lib.cu2rec_ingest_open.argtypes = [ctypes.c_char_p, ctypes.c_char,
+                                           ctypes.c_int]
+        lib.cu2rec_ingest_count.restype = ctypes.c_int64
+        lib.cu2rec_ingest_count.argtypes = [ctypes.c_void_p]
+        lib.cu2rec_ingest_copy.restype = None
+        lib.cu2rec_ingest_copy.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.cu2rec_ingest_close.restype = None
+        lib.cu2rec_ingest_close.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+        return _LIB
+
+
+def native_read_ratings(path: str, delim: int, skip_lines: int):
+    """Parse a ratings file natively → (users, items, ratings) numpy arrays.
+
+    Raises if the native library is unavailable (caller falls back).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    handle = lib.cu2rec_ingest_open(path.encode(), delim, skip_lines)
+    if not handle:
+        raise RuntimeError(f"native ingest failed to open {path}")
+    try:
+        n = lib.cu2rec_ingest_count(handle)
+        if n < 0:
+            raise RuntimeError("native ingest count failed")
+        users = np.empty(n, dtype=np.int64)
+        items = np.empty(n, dtype=np.int64)
+        ratings = np.empty(n, dtype=np.float32)
+        if n:
+            lib.cu2rec_ingest_copy(
+                handle,
+                users.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                items.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ratings.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    finally:
+        lib.cu2rec_ingest_close(handle)
+    return users, items, ratings

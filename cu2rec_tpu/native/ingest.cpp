@@ -1,0 +1,206 @@
+// Fast ratings-CSV ingest for cu2rec_tpu.
+//
+// TPU-native replacement for the reference's host-side line-by-line ifstream
+// parser (reference matrix_factorization/util.cu:17-45): Netflix-scale files
+// (~100M rows) are mmapped and parsed with hand-rolled integer/float
+// scanning, multi-threaded over byte ranges, then written straight into
+// caller-provided numpy buffers via ctypes — no Python-object churn.
+//
+// Contract (matches readCSV): rows are `userId<delim>itemId<delim>rating`,
+// 1-based ids; the caller handles header skipping via `skip_lines`,
+// 0-basing, max-id counting and mean computation (cheap vector ops in
+// numpy).  Malformed lines are skipped, like ifstream >> would stop; we are
+// more lenient and keep going.
+//
+// Build: see Makefile in this directory (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Chunk {
+    const char* begin;
+    const char* end;
+    std::vector<int64_t> users;
+    std::vector<int64_t> items;
+    std::vector<float> ratings;
+};
+
+inline const char* parse_int(const char* p, const char* end, int64_t* out, bool* ok) {
+    int64_t v = 0;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+    const char* start = p;
+    while (p < end && *p >= '0' && *p <= '9') { v = v * 10 + (*p - '0'); ++p; }
+    *ok = (p != start);
+    *out = neg ? -v : v;
+    return p;
+}
+
+inline const char* parse_float(const char* p, const char* end, double* out, bool* ok) {
+    double v = 0.0;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+    const char* start = p;
+    while (p < end && *p >= '0' && *p <= '9') { v = v * 10.0 + (*p - '0'); ++p; }
+    if (p < end && *p == '.') {
+        ++p;
+        double scale = 0.1;
+        while (p < end && *p >= '0' && *p <= '9') { v += (*p - '0') * scale; scale *= 0.1; ++p; }
+    }
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        ++p;
+        int64_t e; bool eok;
+        p = parse_int(p, end, &e, &eok);
+        if (eok) {
+            double f = e < 0 ? 0.1 : 10.0;
+            for (int64_t k = e < 0 ? -e : e; k > 0; --k) v *= f;
+        }
+    }
+    *ok = (p != start);
+    *out = neg ? -v : v;
+    return p;
+}
+
+inline const char* skip_ws(const char* p, const char* end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    return p;
+}
+
+// Skip whitespace, then the delimiter (or treat whitespace itself as the
+// separator, like ifstream >> does for space-delimited files).
+inline const char* skip_sep(const char* p, const char* end, char delim,
+                            bool* ok) {
+    const char* q = skip_ws(p, end);
+    if (q < end && *q == delim) { *ok = true; return skip_ws(q + 1, end); }
+    *ok = (q != p);  // pure-whitespace separator
+    return q;
+}
+
+void parse_chunk(Chunk* c, char delim) {
+    const char* p = c->begin;
+    const char* end = c->end;
+    size_t approx = (size_t)((end - p) / 12) + 16;
+    c->users.reserve(approx);
+    c->items.reserve(approx);
+    c->ratings.reserve(approx);
+    while (p < end) {
+        const char* line_end = (const char*)memchr(p, '\n', end - p);
+        if (!line_end) line_end = end;
+        int64_t u, i;
+        double r;
+        bool ok1, ok2, ok3, s1, s2;
+        const char* q = parse_int(skip_ws(p, line_end), line_end, &u, &ok1);
+        if (ok1) {
+            q = skip_sep(q, line_end, delim, &s1);
+            q = parse_int(q, line_end, &i, &ok2);
+            if (s1 && ok2) {
+                q = skip_sep(q, line_end, delim, &s2);
+                q = parse_float(q, line_end, &r, &ok3);
+                if (s2 && ok3) {
+                    c->users.push_back(u);
+                    c->items.push_back(i);
+                    c->ratings.push_back((float)r);
+                }
+            }
+        }
+        p = line_end + 1;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: count parseable rows and parse into thread-local buffers held in a
+// session object; pass 2 copies into caller buffers.  Exposed as a simple
+// two-call API so ctypes callers can allocate exact-size numpy arrays.
+struct IngestResult {
+    std::vector<Chunk> chunks;
+    int64_t total;
+};
+
+void* cu2rec_ingest_open(const char* path, char delim, int skip_lines) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return nullptr;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size == 0) { close(fd); return nullptr; }
+    size_t size = (size_t)st.st_size;
+    const char* base = (const char*)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (base == MAP_FAILED) return nullptr;
+
+    const char* p = base;
+    const char* end = base + size;
+    for (int s = 0; s < skip_lines && p < end; ++s) {
+        const char* nl = (const char*)memchr(p, '\n', end - p);
+        p = nl ? nl + 1 : end;
+    }
+
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? hw : 4;
+    size_t span = (size_t)(end - p);
+    if (span < (64u << 10)) n_threads = 1;
+
+    IngestResult* res = new IngestResult();
+    res->chunks.resize(n_threads);
+    // Split on newline boundaries.
+    const char* cur = p;
+    for (size_t t = 0; t < n_threads; ++t) {
+        const char* cend;
+        if (t + 1 == n_threads) {
+            cend = end;
+        } else {
+            cend = p + span * (t + 1) / n_threads;
+            const char* nl = (const char*)memchr(cend, '\n', end - cend);
+            cend = nl ? nl + 1 : end;
+        }
+        if (cend < cur) cend = cur;
+        res->chunks[t].begin = cur;
+        res->chunks[t].end = cend;
+        cur = cend;
+    }
+    std::vector<std::thread> workers;
+    for (size_t t = 1; t < n_threads; ++t)
+        workers.emplace_back(parse_chunk, &res->chunks[t], delim);
+    parse_chunk(&res->chunks[0], delim);
+    for (auto& w : workers) w.join();
+
+    res->total = 0;
+    for (auto& c : res->chunks) res->total += (int64_t)c.users.size();
+    munmap((void*)base, size);
+    return res;
+}
+
+int64_t cu2rec_ingest_count(void* handle) {
+    return handle ? ((IngestResult*)handle)->total : -1;
+}
+
+void cu2rec_ingest_copy(void* handle, int64_t* users, int64_t* items, float* ratings) {
+    IngestResult* res = (IngestResult*)handle;
+    int64_t off = 0;
+    for (auto& c : res->chunks) {
+        size_t n = c.users.size();
+        if (n) {
+            memcpy(users + off, c.users.data(), n * sizeof(int64_t));
+            memcpy(items + off, c.items.data(), n * sizeof(int64_t));
+            memcpy(ratings + off, c.ratings.data(), n * sizeof(float));
+        }
+        off += (int64_t)n;
+    }
+}
+
+void cu2rec_ingest_close(void* handle) {
+    delete (IngestResult*)handle;
+}
+
+}  // extern "C"

@@ -1,0 +1,102 @@
+"""RMSE/MAE evaluation — TPU-native redesign of the reference loss path
+(matrix_factorization/loss.cu).
+
+The reference computes a per-rating error array with a one-thread-per-user
+kernel walking each CSR slice (loss_kernel, loss.cu:19-35), then reduces it
+with a hand-written shared-memory tree reduction templated over 10 block
+sizes (total_loss_kernel, loss.cu:58-128) and finishes the sum on the CPU
+(loss.cu:184-190).
+
+Here the ragged per-user walk becomes a flat gather over the precomputed
+``row_ids`` expansion (static shapes, no ragged control flow), the
+arithmetic rides the VPU, and the reduction is a plain XLA reduction —
+`lax.scan` chunks bound peak memory so 100M-rating Netflix eval never
+materializes an (nnz, F) intermediate.  Cross-device, callers wrap the
+partial sums in a ``psum`` (see cu2rec_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cu2rec_tpu.data.csr import DeviceRatings
+from cu2rec_tpu.models.state import MFModel
+
+
+def pairwise_errors(P, Q, user_bias, item_bias, global_bias,
+                    rows, cols, vals):
+    """error[k] = rating[k] − r̂(u_k, i_k)  (loss_kernel semantics,
+    loss.cu:29-33)."""
+    pred = (global_bias + user_bias[rows] + item_bias[cols]
+            + jnp.sum(P[rows] * Q[cols], axis=-1))
+    return vals - pred
+
+
+def error_sums(P, Q, user_bias, item_bias, global_bias,
+               rows, cols, vals, mask, chunk_size: int = 1 << 20):
+    """(Σ err², Σ |err|) over masked ratings, chunked to bound memory.
+
+    The input arrays must be padded to a multiple of ``chunk_size`` is NOT
+    required — a tail chunk is handled by padding here if needed; callers
+    that pre-pad (DeviceRatings with pad_multiple=chunk) avoid the copy.
+    """
+    n = rows.shape[0]
+    if n <= chunk_size:
+        err = pairwise_errors(P, Q, user_bias, item_bias, global_bias,
+                              rows, cols, vals)
+        err = jnp.where(mask, err, 0.0)
+        return jnp.sum(err * err), jnp.sum(jnp.abs(err))
+
+    n_chunks = -(-n // chunk_size)
+    padded = n_chunks * chunk_size
+
+    def pad(x, fill=0):
+        return jnp.pad(x, (0, padded - n), constant_values=fill)
+
+    rows_c = pad(rows).reshape(n_chunks, chunk_size)
+    cols_c = pad(cols).reshape(n_chunks, chunk_size)
+    vals_c = pad(vals).reshape(n_chunks, chunk_size)
+    mask_c = pad(mask, False).reshape(n_chunks, chunk_size)
+
+    def body(carry, chunk):
+        sse, sae = carry
+        r, c, v, m = chunk
+        err = pairwise_errors(P, Q, user_bias, item_bias, global_bias, r, c, v)
+        err = jnp.where(m, err, 0.0)
+        return (sse + jnp.sum(err * err), sae + jnp.sum(jnp.abs(err))), None
+
+    (sse, sae), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.float32(0.0)),
+        (rows_c, cols_c, vals_c, mask_c))
+    return sse, sae
+
+
+@partial(jax.jit, static_argnames=("chunk_size",))
+def _eval_jit(model: MFModel, dev: DeviceRatings, chunk_size: int):
+    n = dev.indices.shape[0]
+    mask = jnp.arange(n, dtype=jnp.int32) < jnp.int32(dev.nnz)
+    sse, sae = error_sums(model.P, model.Q, model.user_bias, model.item_bias,
+                          model.global_bias, dev.row_ids, dev.indices,
+                          dev.data, mask, chunk_size)
+    denom = jnp.float32(dev.nnz)
+    return jnp.sqrt(sse / denom), sae / denom
+
+
+def evaluate(model: MFModel, dev: DeviceRatings,
+             chunk_size: int = 1 << 20):
+    """(RMSE, MAE) over a device ratings set — the equivalent of
+    ``calculate_loss_gpu`` + ``get_error_metrics_gpu`` (loss.cu:40-49,
+    150-200)."""
+    rmse, mae = _eval_jit(model, dev, chunk_size)
+    return float(rmse), float(mae)
+
+
+def metrics_from_errors(errors: jax.Array):
+    """(MAE, RMSE) from a per-rating error vector
+    (get_error_metrics semantics, loss.cu:132-143)."""
+    n = errors.shape[0]
+    return (jnp.sum(jnp.abs(errors)) / n,
+            jnp.sqrt(jnp.sum(errors * errors) / n))

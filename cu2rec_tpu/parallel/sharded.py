@@ -1,0 +1,394 @@
+"""Multi-device sharded training — the distributed layer the reference
+never had (SURVEY §2: "no DP across devices … no distributed communication
+backend at all"; the reference is single-process single-GPU).
+
+Design (per BASELINE.json north star, built TPU-first):
+
+* **Mesh**: 2D ``Mesh(('dp', 'ip'))``.  The user axis shards over ``dp``
+  (data parallelism over rating shards: each dp shard owns a contiguous
+  block of users, their P rows, user biases, and their CSR rating slices —
+  the embedding-table analogue of DP).  The item axis shards over ``ip``
+  (model parallelism: Q/item_bias row-sharded by item — the TP analogue
+  for embedding tables).  ``ip=1`` replicates the item tables, which is
+  the right choice at MovieLens/Netflix catalog sizes (I ≤ ~30K rows);
+  ``ip>1`` shards catalogs too big for one chip's HBM.
+
+* **Collectives** (XLA over ICI, replacing the nonexistent NCCL/MPI):
+  - item-row *assembly*: each ip shard contributes its owned rows of the
+    per-user gathered Q rows; a ``psum`` over ``ip`` assembles them
+    (dense, MXU/VPU-friendly; no ragged all_to_all needed);
+  - winner *election*: per-item best priority is a local scatter-min
+    followed by ``pmin`` over ``dp`` — the deterministic, mesh-wide
+    first-writer-wins that replaces sgd.cu:47-50's racy flag;
+  - item-delta *reduction*: winner deltas scatter into a dense local
+    (I/ip, F) buffer and ``psum`` over ``dp`` applies them to every
+    replica consistently;
+  - eval: local partial error sums + ``psum`` (the cross-device form of
+    loss.cu's tree reduction).
+
+* **Determinism**: sampling uses the counter-based per-(iteration, user)
+  stream of ops.sgd.sample_items, so a sharded run computes *exactly* the
+  same updates as the single-chip run — verified by tests/test_parallel.py.
+  The reference could never make such a claim across any reshaping of its
+  launch geometry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cu2rec_tpu.data.csr import CSRRatings
+from cu2rec_tpu.models.state import MFModel, init_model
+from cu2rec_tpu.ops.loss import pairwise_errors
+from cu2rec_tpu.ops.sgd import Hyper, rotated_priority, sample_items, sgd_step
+from cu2rec_tpu.utils.config import Config
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def make_mesh(n_dp: int, n_ip: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None
+                         else jax.devices()[:n_dp * n_ip])
+    if devices.size < n_dp * n_ip:
+        raise ValueError(f"need {n_dp * n_ip} devices, have {devices.size}")
+    return Mesh(devices[:n_dp * n_ip].reshape(n_dp, n_ip), ("dp", "ip"))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class ShardedRatings:
+    """Ratings pre-sharded by user block: stacked per-shard local CSRs with
+    equal static shapes (a pytree).
+
+    ``indptr`` (n_dp, U_loc+1) rebased per shard; ``indices``/``data``/
+    ``row_ids`` (n_dp, NNZ_loc) padded to the max shard nnz; ``nnz``
+    (n_dp,) true local counts; ``row_ids`` are *local* user offsets.
+    """
+
+    indptr: object
+    indices: object
+    data: object
+    row_ids: object
+    nnz: object
+    total_nnz: int
+    n_users_padded: int
+    n_items_padded: int
+
+
+import jax.tree_util as _jtu
+
+_jtu.register_dataclass(
+    ShardedRatings,
+    data_fields=["indptr", "indices", "data", "row_ids", "nnz"],
+    meta_fields=["total_nnz", "n_users_padded", "n_items_padded"],
+)
+
+
+def shard_ratings(csr: CSRRatings, n_dp: int, n_ip: int = 1,
+                  mesh: Mesh | None = None) -> ShardedRatings:
+    """Host-side stratification of a CSR into dp user-block shards."""
+    U_pad = _ceil_to(csr.n_users, n_dp)
+    I_pad = _ceil_to(csr.n_items, n_ip)
+    U_loc = U_pad // n_dp
+    indptr_full = np.zeros(U_pad + 1, dtype=np.int64)
+    indptr_full[:csr.n_users + 1] = csr.indptr
+    indptr_full[csr.n_users + 1:] = csr.indptr[-1]
+
+    locals_ = []
+    for d in range(n_dp):
+        lo_u, hi_u = d * U_loc, (d + 1) * U_loc
+        lo, hi = indptr_full[lo_u], indptr_full[hi_u]
+        locals_.append((
+            (indptr_full[lo_u:hi_u + 1] - lo).astype(np.int32),
+            csr.indices[lo:hi].astype(np.int32),
+            csr.data[lo:hi].astype(np.float32),
+            (np.repeat(np.arange(U_loc, dtype=np.int32),
+                       np.diff(indptr_full[lo_u:hi_u + 1]).astype(np.int64))),
+        ))
+    nnz_loc = np.asarray([len(x[1]) for x in locals_], dtype=np.int32)
+    NNZ = max(int(nnz_loc.max()), 1)
+    indptr = np.stack([x[0] for x in locals_])
+    indices = np.stack([np.pad(x[1], (0, NNZ - len(x[1]))) for x in locals_])
+    data = np.stack([np.pad(x[2], (0, NNZ - len(x[2]))) for x in locals_])
+    row_ids = np.stack([np.pad(x[3], (0, NNZ - len(x[3]))) for x in locals_])
+
+    def put(x, spec):
+        if mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return ShardedRatings(
+        indptr=put(indptr, P("dp", None)),
+        indices=put(indices, P("dp", None)),
+        data=put(data, P("dp", None)),
+        row_ids=put(row_ids, P("dp", None)),
+        nnz=put(nnz_loc, P("dp")),
+        total_nnz=csr.nnz,
+        n_users_padded=U_pad,
+        n_items_padded=I_pad,
+    )
+
+
+def pad_model(model: MFModel, U_pad: int, I_pad: int,
+              mesh: Mesh | None = None) -> MFModel:
+    """Zero-pad tables to sharding-divisible sizes and place them on the
+    mesh (P/user_bias row-sharded over dp, Q/item_bias over ip)."""
+    U, F = model.P.shape
+    I = model.Q.shape[0]
+    P_arr = jnp.pad(model.P, ((0, U_pad - U), (0, 0)))
+    ub = jnp.pad(model.user_bias, (0, U_pad - U))
+    Q_arr = jnp.pad(model.Q, ((0, I_pad - I), (0, 0)))
+    ib = jnp.pad(model.item_bias, (0, I_pad - I))
+    if mesh is not None:
+        P_arr = jax.device_put(P_arr, NamedSharding(mesh, P("dp", None)))
+        ub = jax.device_put(ub, NamedSharding(mesh, P("dp")))
+        Q_arr = jax.device_put(Q_arr, NamedSharding(mesh, P("ip", None)))
+        ib = jax.device_put(ib, NamedSharding(mesh, P("ip")))
+    return MFModel(P=P_arr, Q=Q_arr, user_bias=ub, item_bias=ib,
+                   global_bias=model.global_bias)
+
+
+def trim_model(model: MFModel, n_users: int, n_items: int) -> MFModel:
+    return MFModel(P=model.P[:n_users], Q=model.Q[:n_items],
+                   user_bias=model.user_bias[:n_users],
+                   item_bias=model.item_bias[:n_items],
+                   global_bias=model.global_bias)
+
+
+def _local_step(P_l, Q_l, ub_l, ib_l, mu, indptr_l, indices_l, data_l,
+                hp: Hyper, key, iteration, n_users_global: int,
+                *, train_items: bool, collision: str, rotation: int = 250):
+    """Body of one sharded SGD iteration (runs inside shard_map)."""
+    dp = jax.lax.axis_index("dp")
+    ip = jax.lax.axis_index("ip")
+    U_loc = P_l.shape[0]
+    I_loc = Q_l.shape[0]
+    user_offset = dp * U_loc
+    item_offset = ip * I_loc
+
+    items, ratings, has = sample_items(key, iteration, indptr_l, indices_l,
+                                       data_l, user_offset=user_offset)
+    prio = rotated_priority(n_users_global, iteration, user_offset, U_loc,
+                            rotation)
+
+    # Assemble this shard's view of the sampled item rows: each ip shard
+    # contributes its owned rows, psum over ip completes them.
+    owned = (items >= item_offset) & (items < item_offset + I_loc)
+    loc_idx = jnp.clip(items - item_offset, 0, I_loc - 1)
+    q_part = jnp.where(owned[:, None], Q_l[loc_idx], 0.0)
+    ib_part = jnp.where(owned, ib_l[loc_idx], 0.0)
+    q_rows = jax.lax.psum(q_part, "ip")
+    ib_rows = jax.lax.psum(ib_part, "ip")
+
+    # Mesh-wide deterministic first-wins election.
+    cand = jnp.where(has, prio, INT32_MAX)
+    cand_here = jnp.where(owned, cand, INT32_MAX)
+    best_l = jnp.full((I_loc,), INT32_MAX, dtype=jnp.int32).at[loc_idx].min(
+        cand_here)
+    best_l = jax.lax.pmin(best_l, "dp")
+    win_part = owned & has & (best_l[loc_idx] == cand)
+    win = jax.lax.psum(win_part.astype(jnp.int32), "ip") > 0
+
+    P_new, ub_new, dq, dib = sgd_step(
+        P_l, Q_l, ub_l, ib_l, mu, items, ratings, has, win, hp,
+        train_items=train_items, collision=collision,
+        q_rows=q_rows, item_bias_rows=ib_rows)
+
+    if train_items:
+        dq_here = jnp.where(owned[:, None], dq, 0.0)
+        dib_here = jnp.where(owned, dib, 0.0)
+        dQ_l = jnp.zeros_like(Q_l).at[loc_idx].add(dq_here)
+        dib_l = jnp.zeros_like(ib_l).at[loc_idx].add(dib_here)
+        Q_l = Q_l + jax.lax.psum(dQ_l, "dp")
+        ib_l = ib_l + jax.lax.psum(dib_l, "dp")
+    return P_new, Q_l, ub_new, ib_l
+
+
+def _eval_local(P_l, Q_full, ub_l, ib_full, mu, row_ids_l, indices_l,
+                data_l, nnz_l, chunk_size: int):
+    """Local partial error sums over this dp shard's ratings (item tables
+    pre-assembled to full)."""
+    n = indices_l.shape[0]
+    mask = jnp.arange(n, dtype=jnp.int32) < nnz_l
+
+    n_chunks = max(-(-n // chunk_size), 1)
+    padded = n_chunks * chunk_size
+
+    def pad(x, fill=0):
+        return jnp.pad(x, (0, padded - n), constant_values=fill)
+
+    rows_c = pad(row_ids_l).reshape(n_chunks, -1)
+    cols_c = pad(indices_l).reshape(n_chunks, -1)
+    vals_c = pad(data_l).reshape(n_chunks, -1)
+    mask_c = pad(mask, False).reshape(n_chunks, -1)
+
+    def body(carry, chunk):
+        sse, sae = carry
+        r, c, v, m = chunk
+        err = pairwise_errors(P_l, Q_full, ub_l, ib_full, mu, r, c, v)
+        err = jnp.where(m, err, 0.0)
+        return (sse + jnp.sum(err * err), sae + jnp.sum(jnp.abs(err))), None
+
+    (sse, sae), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
+                                 (rows_c, cols_c, vals_c, mask_c))
+    return sse, sae
+
+
+class ShardedEngine:
+    """Execution engine running the training semantics over a device mesh.
+
+    Drop-in for SingleChipEngine in the shared host loop
+    (train.trainer.train_with_engine): same eval cadence, same plateau
+    scheduler, bit-identical updates (see module docstring).
+    """
+
+    def __init__(self, train_csr: CSRRatings, test_csr: CSRRatings,
+                 cfg: Config, n_devices: int | None = None,
+                 n_ip: int = 1, mesh: Mesh | None = None,
+                 eval_chunk: int = 1 << 20):
+        if mesh is None:
+            n_total = n_devices or len(jax.devices())
+            mesh = make_mesh(n_total // n_ip, n_ip)
+        self.mesh = mesh
+        self.n_dp = mesh.shape["dp"]
+        self.n_ip = mesh.shape["ip"]
+        self.cfg = cfg
+        self.eval_chunk = eval_chunk
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.n_users = train_csr.n_users
+        self.n_items = train_csr.n_items
+        self.train_sh = shard_ratings(train_csr, self.n_dp, self.n_ip, mesh)
+        self.test_sh = shard_ratings(test_csr, self.n_dp, self.n_ip, mesh)
+        self.U_pad = self.train_sh.n_users_padded
+        self.I_pad = self.train_sh.n_items_padded
+        self._compiled_runs: dict = {}
+        self._build_programs()
+
+    # -- program construction -------------------------------------------
+    def _build_programs(self):
+        mesh = self.mesh
+        U_pad = self.U_pad
+        n_users_global = U_pad  # rotation modulus over padded users
+        eval_chunk = self.eval_chunk
+
+        try:
+            from jax import shard_map as _sm
+            shard_map = partial(_sm, check_vma=False)
+        except ImportError:  # older JAX
+            from jax.experimental.shard_map import shard_map as _sm
+            shard_map = partial(_sm, check_rep=False)
+
+        # Pytrees of arrays are passed to shard_map as flat tuples to keep
+        # in_specs simple and independent of dataclass metadata.
+        model_specs = (P("dp", None), P("ip", None), P("dp"), P("ip"), P())
+        ratings_specs = (P("dp", None), P("dp", None), P("dp", None),
+                         P("dp", None), P("dp"))
+
+        def steps_body(model_t, ratings_t, hp, key, start_iter,
+                       n_steps, train_items, collision):
+            indptr, indices, data, _row_ids, _nnz = (x[0] for x in ratings_t)
+
+            def one(carry, i):
+                P_l, Q_l, ub_l, ib_l, mu = carry
+                it = start_iter + i
+                P_new, Q_new, ub_new, ib_new = _local_step(
+                    P_l, Q_l, ub_l, ib_l, mu, indptr, indices, data,
+                    hp, key, it, n_users_global, train_items=train_items,
+                    collision=collision)
+                return (P_new, Q_new, ub_new, ib_new, mu), None
+
+            carry, _ = jax.lax.scan(
+                one, model_t, jnp.arange(n_steps, dtype=jnp.int32))
+            return carry
+
+        @partial(jax.jit, static_argnames=("n_steps", "train_items",
+                                           "collision"),
+                 donate_argnums=(0,))
+        def run(model_t, ratings_t, hp, key, start_iter, n_steps,
+                train_items, collision):
+            f = shard_map(
+                partial(steps_body, n_steps=n_steps, train_items=train_items,
+                        collision=collision),
+                mesh=mesh,
+                in_specs=(model_specs, ratings_specs, P(), P(), P()),
+                out_specs=model_specs)
+            return f(model_t, ratings_t, hp, key, start_iter)
+
+        self._run_jit = run
+
+        def eval_body(model_t, ratings_t, total_nnz):
+            P_l, Q_l, ub_l, ib_l, mu = model_t
+            _indptr, indices, data, row_ids, nnz = (x[0] for x in ratings_t)
+            # Assemble full item tables once per eval (all_gather over ip).
+            Q_full = jax.lax.all_gather(Q_l, "ip", axis=0, tiled=True)
+            ib_full = jax.lax.all_gather(ib_l, "ip", axis=0, tiled=True)
+            sse, sae = _eval_local(P_l, Q_full, ub_l, ib_full, mu,
+                                   row_ids, indices, data, nnz, eval_chunk)
+            sse = jax.lax.psum(sse, "dp")
+            sae = jax.lax.psum(sae, "dp")
+            denom = total_nnz.astype(jnp.float32)
+            return jnp.sqrt(sse / denom), sae / denom
+
+        @jax.jit
+        def evaluate(model_t, ratings_t, total_nnz):
+            f = shard_map(
+                eval_body, mesh=mesh,
+                in_specs=(model_specs, ratings_specs, P()),
+                out_specs=(P(), P()))
+            return f(model_t, ratings_t, total_nnz)
+
+        self._evaluate_jit = evaluate
+
+    @staticmethod
+    def _model_tuple(model: MFModel):
+        return (model.P, model.Q, model.user_bias, model.item_bias,
+                model.global_bias)
+
+    @staticmethod
+    def _ratings_tuple(sh: ShardedRatings):
+        return (sh.indptr, sh.indices, sh.data, sh.row_ids, sh.nnz)
+
+    # -- engine interface ------------------------------------------------
+    def init_model(self, n_users: int, n_items: int, global_bias: float,
+                   Q=None, item_bias=None) -> MFModel:
+        model = init_model(n_users, n_items, self.cfg.n_factors, global_bias,
+                           seed=self.cfg.seed,
+                           dtype=jnp.dtype(self.cfg.dtype),
+                           Q=Q, item_bias=item_bias)
+        return pad_model(model, self.U_pad, self.I_pad, self.mesh)
+
+    def run(self, model: MFModel, hp: Hyper, start_iter: int,
+            n_steps: int) -> MFModel:
+        if (model.P.shape[0] != self.U_pad
+                or model.Q.shape[0] != self.I_pad):
+            model = pad_model(model, self.U_pad, self.I_pad, self.mesh)
+        out = self._run_jit(self._model_tuple(model),
+                            self._ratings_tuple(self.train_sh), hp, self.key,
+                            jnp.int32(start_iter), n_steps,
+                            bool(self.cfg.is_train),
+                            self.cfg.collision_policy)
+        P_arr, Q_arr, ub, ib, mu = out
+        return MFModel(P=P_arr, Q=Q_arr, user_bias=ub, item_bias=ib,
+                       global_bias=mu)
+
+    def evaluate(self, model: MFModel, split: str):
+        sh = self.train_sh if split == "train" else self.test_sh
+        if (model.P.shape[0] != self.U_pad
+                or model.Q.shape[0] != self.I_pad):
+            model = pad_model(model, self.U_pad, self.I_pad, self.mesh)
+        rmse, mae = self._evaluate_jit(self._model_tuple(model),
+                                       self._ratings_tuple(sh),
+                                       jnp.int32(sh.total_nnz))
+        return float(rmse), float(mae)
+
+    def finalize(self, model: MFModel) -> MFModel:
+        return trim_model(model, self.n_users, self.n_items)

@@ -1,0 +1,95 @@
+"""Serving: full-catalog scoring, ranked recommendations, recall@K.
+
+Replaces the reference's CPU scoring + ``std::sort`` serving path
+(predict.cu:17-29, 49-70) with the MXU matmul + ``lax.top_k`` — scoring a
+block of users against the whole catalog is one ``P_u @ Q.T``.  Rated-item
+filtering is scatter-masking (no sorted-iterator edge cases as in
+predict.cu:52-59).  Batched ``recommend_users`` plus ``recall_at_k_eval``
+give the retrieval-quality benchmark (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cu2rec_tpu.models.state import MFModel
+from cu2rec_tpu.ops.model import score_catalog
+from cu2rec_tpu.ops.topk import mask_rated, recall_at_k
+
+
+def predict_all_items(p_row, user_bias, Q, item_bias, global_bias):
+    """Scores for every item for one user (predict_ratings equivalent,
+    predict.cu:17-29)."""
+    scores = score_catalog(jnp.asarray(p_row).reshape(1, -1),
+                           jnp.asarray(user_bias).reshape(1),
+                           Q, item_bias, global_bias)
+    return scores[0]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_users(P_rows, ub_rows, Q, item_bias, global_bias,
+                rated_items, rated_mask, k: int):
+    scores = score_catalog(P_rows, ub_rows, Q, item_bias, global_bias)
+    scores = mask_rated(scores, rated_items, rated_mask)
+    return jax.lax.top_k(scores, k)
+
+
+def recommend_users(model: MFModel, user_ids, rated_items, rated_mask,
+                    k: int = 10):
+    """Top-k unrated items for a batch of users.
+
+    ``rated_items``/``rated_mask``: (B, R) padded already-rated item ids.
+    Returns (scores (B,k), item_ids (B,k)).  If a user has fewer than k
+    unrated items, the surplus entries carry sentinel scores < -1e30 and
+    should be discarded by the caller.
+    """
+    user_ids = jnp.asarray(user_ids)
+    return _topk_users(model.P[user_ids], model.user_bias[user_ids],
+                       model.Q, model.item_bias, model.global_bias,
+                       jnp.asarray(rated_items), jnp.asarray(rated_mask), k)
+
+
+def ranked_items(scores) -> list[tuple[float, int]]:
+    """All items sorted by descending score — the
+    ``get_recommendations`` output shape (predict.cu:49-63)."""
+    scores = np.asarray(scores)
+    order = np.argsort(-scores, kind="stable")
+    return [(float(scores[i]), int(i)) for i in order]
+
+
+def padded_user_lists(csr, user_ids, pad_to: int | None = None):
+    """(items (B,R), mask (B,R)) of each user's rated items from a CSR."""
+    slices = [csr.indices[csr.indptr[u]:csr.indptr[u + 1]] for u in user_ids]
+    R = pad_to or max((len(s) for s in slices), default=1) or 1
+    items = np.zeros((len(user_ids), R), dtype=np.int32)
+    mask = np.zeros((len(user_ids), R), dtype=bool)
+    for b, s in enumerate(slices):
+        items[b, :len(s)] = s[:R]
+        mask[b, :len(s)] = True
+    return items, mask
+
+
+def recall_at_k_eval(model: MFModel, train_csr, test_csr, k: int = 10,
+                     batch_size: int = 1024, max_users: int | None = None):
+    """Mean recall@k over test users: recommend k unrated-in-train items,
+    count hits against the held-out test items."""
+    test_counts = np.diff(test_csr.indptr)
+    users = np.nonzero(test_counts > 0)[0]
+    if max_users:
+        users = users[:max_users]
+    if len(users) == 0:
+        return 0.0
+    total, n = 0.0, 0
+    for b0 in range(0, len(users), batch_size):
+        batch = users[b0:b0 + batch_size]
+        rated, rmask = padded_user_lists(train_csr, batch)
+        _, rec = recommend_users(model, batch, rated, rmask, k)
+        rel, relmask = padded_user_lists(test_csr, batch)
+        r = recall_at_k(rec, jnp.asarray(rel), jnp.asarray(relmask))
+        total += float(jnp.sum(r))
+        n += len(batch)
+    return total / n

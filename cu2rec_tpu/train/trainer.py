@@ -1,0 +1,215 @@
+"""Training orchestration — the equivalent of reference training.cu.
+
+Reference loop shape (training.cu:107-170): one tiny ``sgd_update`` kernel
+launch per iteration, driven from the host, with RMSE/MAE evaluated on the
+first iteration, every ``check_error`` iterations, and the last iteration
+(training.cu:118), and a learning-rate plateau scheduler (patience decrement
+when validation RMSE worsens; multiply LR by ``learning_rate_decay`` at
+zero; training.cu:145-155).
+
+TPU-native redesign: the host never drives individual iterations — segments
+of iterations between eval points run inside a single jitted ``lax.scan``
+(one XLA program, zero per-step launch overhead, donated buffers so P/Q
+update in place in HBM).  The eval cadence, plateau scheduling, metric
+printing and loss bookkeeping keep the reference's observable contract,
+including the stdout line format.
+
+The host loop is engine-agnostic: a :class:`SingleChipEngine` runs the
+plain jitted path, while ``cu2rec_tpu.parallel.ShardedEngine`` runs the
+same semantics over a ``jax.sharding.Mesh`` via ``shard_map`` — the loop,
+cadence, and scheduler are shared.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cu2rec_tpu.data.csr import CSRRatings, DeviceRatings, to_device
+from cu2rec_tpu.models.state import MFModel, init_model
+from cu2rec_tpu.ops.loss import evaluate
+from cu2rec_tpu.ops.sgd import (
+    Hyper, apply_item_deltas, elect_winners, rotated_priority, sample_items,
+    sgd_step, win_mask,
+)
+from cu2rec_tpu.utils.config import Config
+from cu2rec_tpu.utils.metrics import MetricsLogger
+
+
+def single_step(model: MFModel, dev: DeviceRatings, hp: Hyper,
+                key: jax.Array, iteration: jax.Array,
+                *, train_items: bool = True,
+                collision: str = "first_wins",
+                rotation: int = 250) -> MFModel:
+    """One full SGD iteration (all users), single-device semantics."""
+    n_users = model.P.shape[0]
+    n_items = model.Q.shape[0]
+    items, ratings, has = sample_items(key, iteration, dev.indptr,
+                                       dev.indices, dev.data)
+    prio = rotated_priority(n_users, iteration, 0, n_users, rotation)
+    best, cand = elect_winners(items, has, prio, n_items)
+    win = win_mask(best, items, cand, has)
+    P, ub, dq, dib = sgd_step(
+        model.P, model.Q, model.user_bias, model.item_bias,
+        model.global_bias, items, ratings, has, win, hp,
+        train_items=train_items, collision=collision)
+    Q, ib = model.Q, model.item_bias
+    if train_items:
+        Q, ib = apply_item_deltas(Q, ib, items, dq, dib)
+    return MFModel(P=P, Q=Q, user_bias=ub, item_bias=ib,
+                   global_bias=model.global_bias)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "train_items", "collision"),
+         donate_argnames=("model",))
+def run_steps(model: MFModel, dev: DeviceRatings, hp: Hyper,
+              key: jax.Array, start_iter, n_steps: int,
+              train_items: bool = True,
+              collision: str = "first_wins") -> MFModel:
+    """Run ``n_steps`` iterations inside one compiled ``lax.scan``."""
+    def body(m, i):
+        it = start_iter + i
+        m = single_step(m, dev, hp, key, it, train_items=train_items,
+                        collision=collision)
+        return m, None
+
+    model, _ = jax.lax.scan(body, model, jnp.arange(n_steps, dtype=jnp.int32))
+    return model
+
+
+class SingleChipEngine:
+    """Default execution engine: one device, plain jit."""
+
+    def __init__(self, train_csr: CSRRatings, test_csr: CSRRatings,
+                 cfg: Config, eval_chunk: int = 1 << 20):
+        self.train_dev = to_device(train_csr)
+        self.test_dev = to_device(test_csr)
+        self.cfg = cfg
+        self.eval_chunk = eval_chunk
+        self.key = jax.random.PRNGKey(cfg.seed)
+        if cfg.use_pallas:
+            from cu2rec_tpu.ops.sgd_pallas import pallas_run_steps
+            self._runner = pallas_run_steps
+        else:
+            self._runner = run_steps
+
+    def init_model(self, n_users: int, n_items: int, global_bias: float,
+                   Q=None, item_bias=None) -> MFModel:
+        return init_model(n_users, n_items, self.cfg.n_factors, global_bias,
+                          seed=self.cfg.seed, dtype=jnp.dtype(self.cfg.dtype),
+                          Q=Q, item_bias=item_bias)
+
+    def run(self, model: MFModel, hp: Hyper, start_iter: int,
+            n_steps: int) -> MFModel:
+        return self._runner(model, self.train_dev, hp, self.key,
+                            jnp.int32(start_iter), n_steps,
+                            bool(self.cfg.is_train),
+                            self.cfg.collision_policy)
+
+    def evaluate(self, model: MFModel, split: str):
+        dev = self.train_dev if split == "train" else self.test_dev
+        return evaluate(model, dev, self.eval_chunk)
+
+    def finalize(self, model: MFModel) -> MFModel:
+        return model
+
+
+def eval_segments(total_iterations: int, check_error: int):
+    """Segment lengths between the reference's eval points
+    (training.cu:118: eval after iteration i when (i+1)%check_error==0,
+    i==0, or i is last).  Yields (n_steps, eval_iteration_1based)."""
+    points = sorted({1, total_iterations} | {
+        j for j in range(check_error, total_iterations + 1, check_error)})
+    prev = 0
+    for p in points:
+        yield p - prev, p
+        prev = p
+
+
+def _warmup(engine, cfg: Config, model: MFModel):
+    """Compile every program the loop will need before the timer starts —
+    the analogue of the reference's timer excluding memcpys
+    (training.cu:18-19): we exclude XLA compilation, not work."""
+    hp = Hyper(jnp.float32(cfg.learning_rate), jnp.float32(cfg.P_reg),
+               jnp.float32(cfg.Q_reg), jnp.float32(cfg.user_bias_reg),
+               jnp.float32(cfg.item_bias_reg))
+    seen: set[int] = set()
+    throwaway = jax.tree.map(jnp.copy, model)
+    for n_steps, _ in eval_segments(cfg.total_iterations, cfg.check_error):
+        if n_steps in seen:
+            continue
+        seen.add(n_steps)
+        throwaway = engine.run(throwaway, hp, 0, n_steps)
+    engine.evaluate(throwaway, "train")
+    engine.evaluate(throwaway, "test")
+
+
+def train_with_engine(engine, cfg: Config, model: MFModel,
+                      logger: MetricsLogger | None = None,
+                      warmup: bool = True):
+    """The shared host loop: eval cadence + LR plateau + metrics."""
+    logger = logger or MetricsLogger()
+    lr = float(cfg.learning_rate)
+    patience = cfg.patience
+    last_validation_rmse = float("inf")
+    validation_rmse = float("inf")
+    losses: dict[int, float] = {}
+
+    if warmup:
+        _warmup(engine, cfg, model)
+    total = cfg.total_iterations
+    start_time = time.perf_counter()
+    for n_steps, eval_iter in eval_segments(total, cfg.check_error):
+        hp = Hyper(jnp.float32(lr), jnp.float32(cfg.P_reg),
+                   jnp.float32(cfg.Q_reg), jnp.float32(cfg.user_bias_reg),
+                   jnp.float32(cfg.item_bias_reg))
+        model = engine.run(model, hp, cfg.cur_iterations, n_steps)
+        cfg.cur_iterations += n_steps
+
+        train_rmse, train_mae = engine.evaluate(model, "train")
+        last_validation_rmse = validation_rmse
+        validation_rmse, validation_mae = engine.evaluate(model, "test")
+        logger.log_eval(eval_iter, train_mae=train_mae, train_rmse=train_rmse,
+                        test_mae=validation_mae, test_rmse=validation_rmse,
+                        learning_rate=lr)
+        losses[eval_iter] = validation_rmse
+
+        # LR plateau decay (training.cu:145-155).
+        if last_validation_rmse < validation_rmse:
+            patience -= 1
+        if patience <= 0:
+            patience = cfg.patience
+            lr *= cfg.learning_rate_decay
+            cfg.learning_rate = lr
+            logger.log_lr_decay(lr)
+
+    model = engine.finalize(model)
+    jax.block_until_ready(model.P)
+    elapsed = time.perf_counter() - start_time
+    logger.log_time(total, elapsed)
+    return model, losses
+
+
+def train(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
+          global_bias: float,
+          model: MFModel | None = None,
+          logger: MetricsLogger | None = None,
+          eval_chunk: int = 1 << 20,
+          engine=None):
+    """Full training — the main ``train`` overload of the reference
+    (training.cu:21-204).
+
+    Initializes the model unless a pre-loaded one is given (the fold-in
+    path: training.cu:206-217 / predict.cu:126 pass pre-trained
+    Q/item_bias).  Returns ``(model, losses)`` where ``losses`` maps
+    1-based eval iterations to validation RMSE (the reference's ``losses``
+    array, training.cu:29,158).
+    """
+    engine = engine or SingleChipEngine(train_csr, test_csr, cfg, eval_chunk)
+    if model is None:
+        model = engine.init_model(train_csr.n_users, train_csr.n_items,
+                                  global_bias)
+    return train_with_engine(engine, cfg, model, logger)

@@ -1,0 +1,65 @@
+"""Structured metrics logging.
+
+The reference's observability is raw printf (training.cu:135-137, 154,
+176-177) captured to text files by the experiment harness (cu2rec.sh:16).
+We keep the same stdout lines (so grep-based tooling ports over) and add a
+JSONL stream with per-eval records — the "structured per-eval metrics"
+called for by SURVEY §5.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+class MetricsLogger:
+    def __init__(self, jsonl_path: str | None = None, verbose: bool = True,
+                 label: str = "TPU"):
+        self.jsonl_path = jsonl_path
+        self.verbose = verbose
+        self.label = label
+        self._fh = open(jsonl_path, "a") if jsonl_path else None
+        self.history: list[dict] = []
+
+    def _emit(self, record: dict) -> None:
+        record = {"ts": time.time(), **record}
+        self.history.append(record)
+        if self._fh:
+            self._fh.write(json.dumps(record) + "\n")
+            self._fh.flush()
+
+    def log_eval(self, iteration: int, *, train_mae: float, train_rmse: float,
+                 test_mae: float, test_rmse: float,
+                 learning_rate: float) -> None:
+        if self.verbose:
+            # Same line shape as reference training.cu:135-137.
+            print(f"TRAIN: Iteration {iteration} {self.label} "
+                  f"MAE: {train_mae:f} RMSE: {train_rmse:f}")
+            print(f"TEST: Iteration {iteration} {self.label} "
+                  f"MAE: {test_mae:f} RMSE: {test_rmse:f}")
+            sys.stdout.flush()
+        self._emit({"event": "eval", "iteration": iteration,
+                    "train_mae": train_mae, "train_rmse": train_rmse,
+                    "test_mae": test_mae, "test_rmse": test_rmse,
+                    "learning_rate": learning_rate})
+
+    def log_lr_decay(self, new_lr: float) -> None:
+        if self.verbose:
+            # training.cu:154
+            print(f"New Learning Rate: {new_lr:f}")
+        self._emit({"event": "lr_decay", "learning_rate": new_lr})
+
+    def log_time(self, iterations: int, seconds: float) -> None:
+        if self.verbose:
+            # training.cu:176-177
+            print(f"Time taken for {iterations} of iterations is {seconds:f}")
+        self._emit({"event": "time", "iterations": iterations,
+                    "seconds": seconds,
+                    "updates_per_s": None})
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+            self._fh = None

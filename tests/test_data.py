@@ -1,0 +1,121 @@
+"""Data-layer tests — parity with reference tests/test_util.cu golden
+values, plus native-ingest cross-checks."""
+
+import numpy as np
+import pytest
+
+from cu2rec_tpu.data import (
+    build_csr, load_matrix, read_array, read_ratings_csv, write_component,
+    write_csv,
+)
+
+
+def test_read_csv_golden(toy_ratings):
+    # test_util.cu:28-31: rows=6, cols=5, nnz=18, μ≈3.5556
+    assert toy_ratings.n_users == 6
+    assert toy_ratings.n_items == 5
+    assert toy_ratings.nnz == 18
+    assert abs(toy_ratings.global_bias - 64.0 / 18.0) < 1e-6
+    # ids 0-based in memory
+    assert toy_ratings.users.min() == 0
+    assert toy_ratings.items.min() == 0
+
+
+def test_csr_golden(toy_csr):
+    # test_util.cu golden CSR for test_ratings.csv
+    np.testing.assert_array_equal(toy_csr.indptr,
+                                  [0, 4, 7, 10, 13, 16, 18])
+    np.testing.assert_array_equal(
+        toy_csr.indices,
+        [0, 1, 2, 4, 0, 1, 2, 0, 1, 2, 0, 1, 2, 1, 3, 4, 3, 4])
+    np.testing.assert_allclose(
+        toy_csr.data,
+        [1, 1, 1, 5, 3, 3, 3, 4, 4, 4, 5, 5, 5, 2, 4, 4, 5, 5])
+
+
+def test_csr_missing_user(data_dir):
+    # test_util.cu:123-125,170-172: user 2 has no ratings → indptr repeats
+    rd = read_ratings_csv(str(data_dir / "test_missing_user_ratings.csv"))
+    csr = build_csr(rd)
+    np.testing.assert_array_equal(csr.indptr, [0, 4, 4, 7, 10, 13, 15])
+
+
+def test_row_ids_inverse(toy_csr):
+    rows = toy_csr.row_ids
+    assert rows.shape[0] == toy_csr.nnz
+    np.testing.assert_array_equal(
+        rows, [0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5])
+
+
+def test_read_array(data_dir):
+    # test_util.cu:36-46 equivalent on the checked-in Q fixture
+    flat, n_rows, n_cols = read_array(str(data_dir / "test_Q.csv"))
+    assert flat.shape[0] == n_rows * n_cols
+    mat = load_matrix(str(data_dir / "test_Q.csv"))
+    assert mat.shape == (n_rows, n_cols)
+
+
+def test_write_read_roundtrip(tmp_path):
+    # test_util.cu:50-94 equivalent
+    data = np.arange(12, dtype=np.float32).reshape(3, 4) / 7.0
+    path = tmp_path / "arr.csv"
+    write_csv(str(path), data, 3, 4)
+    back = load_matrix(str(path))
+    np.testing.assert_allclose(back, data, atol=1e-6)
+
+
+def test_component_naming(tmp_path):
+    # util.cu:99-103 naming contract
+    data = np.ones((2, 3), dtype=np.float32)
+    p = write_component(str(tmp_path), "ratings_train", "p", data, 2, 3, 50)
+    assert p.endswith("ratings_train_f50_p.csv")
+
+
+def test_native_matches_python(data_dir, tmp_path):
+    """Native C++ ingest must agree with the numpy fallback."""
+    path = str(data_dir / "test_ratings.csv")
+    a = read_ratings_csv(path, use_native=True)
+    b = read_ratings_csv(path, use_native=False)
+    np.testing.assert_array_equal(a.users, b.users)
+    np.testing.assert_array_equal(a.items, b.items)
+    np.testing.assert_allclose(a.ratings, b.ratings)
+    assert a.global_bias == pytest.approx(b.global_bias)
+
+
+def test_native_large_roundtrip(tmp_path):
+    """Native parser on a bigger generated file, odd formats included."""
+    rng = np.random.default_rng(0)
+    n = 50_000
+    users = rng.integers(1, 500, n)
+    items = rng.integers(1, 300, n)
+    ratings = rng.uniform(0.5, 5.0, n).round(3)
+    path = tmp_path / "big.csv"
+    with open(path, "w") as f:
+        f.write("userId,itemId,rating\n")
+        for u, i, r in zip(users, items, ratings):
+            f.write(f"{u},{i},{r}\n")
+    rd = read_ratings_csv(str(path), use_native=True)
+    assert rd.nnz == n
+    np.testing.assert_array_equal(rd.users, users - 1)
+    np.testing.assert_array_equal(rd.items, items - 1)
+    np.testing.assert_allclose(rd.ratings, ratings, rtol=1e-5)
+
+
+def test_unsorted_raises():
+    from cu2rec_tpu.data.ratings import RatingsData
+    rd = RatingsData(users=np.array([1, 0], dtype=np.int32),
+                     items=np.array([0, 1], dtype=np.int32),
+                     ratings=np.array([1.0, 2.0], dtype=np.float32),
+                     n_users=2, n_items=2, global_bias=1.5)
+    with pytest.raises(ValueError):
+        build_csr(rd)
+
+
+def test_native_space_padded_fields(data_dir):
+    """The predict fixture has spaces after commas (`1, 1, 1.0`) — the
+    reference's ifstream >> skips them (predict.cu via util.cu:17-45), so
+    must we."""
+    rd = read_ratings_csv(str(data_dir / "test_user_ratings.csv"))
+    assert rd.nnz == 3
+    np.testing.assert_array_equal(rd.items, [0, 1, 3])
+    np.testing.assert_allclose(rd.ratings, [1.0, 1.0, 5.0])

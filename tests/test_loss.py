@@ -1,0 +1,71 @@
+"""Loss/eval tests — parity with reference tests/test_loss.cu.
+
+The analytic golden value: with all-ones P/Q/biases (F=2) and μ forced to
+1.0 on the toy fixture, every prediction is 5.0 and the squared errors sum
+to exactly 74.0 (test_loss.cu:84-90)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cu2rec_tpu.data.csr import to_device
+from cu2rec_tpu.models.state import MFModel
+from cu2rec_tpu.ops.loss import error_sums, evaluate, metrics_from_errors, \
+    pairwise_errors
+
+
+def ones_model(n_users, n_items, n_factors=2, mu=1.0):
+    return MFModel(P=jnp.ones((n_users, n_factors)),
+                   Q=jnp.ones((n_items, n_factors)),
+                   user_bias=jnp.ones(n_users),
+                   item_bias=jnp.ones(n_items),
+                   global_bias=jnp.float32(mu))
+
+
+def test_loss_analytic_74(toy_csr):
+    m = ones_model(toy_csr.n_users, toy_csr.n_items)
+    rows = jnp.asarray(toy_csr.row_ids)
+    cols = jnp.asarray(toy_csr.indices)
+    vals = jnp.asarray(toy_csr.data)
+    err = pairwise_errors(m.P, m.Q, m.user_bias, m.item_bias, m.global_bias,
+                          rows, cols, vals)
+    assert float(jnp.sum(err * err)) == 74.0
+
+
+def test_error_sums_chunked_matches_unchunked(toy_csr):
+    m = ones_model(toy_csr.n_users, toy_csr.n_items)
+    rows = jnp.asarray(toy_csr.row_ids)
+    cols = jnp.asarray(toy_csr.indices)
+    vals = jnp.asarray(toy_csr.data)
+    mask = jnp.ones(toy_csr.nnz, dtype=bool)
+    a = error_sums(m.P, m.Q, m.user_bias, m.item_bias, m.global_bias,
+                   rows, cols, vals, mask)
+    b = error_sums(m.P, m.Q, m.user_bias, m.item_bias, m.global_bias,
+                   rows, cols, vals, mask, chunk_size=5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_metrics_all_ones_errors():
+    # test_loss.cu:106-146: all-ones error vectors of many sizes must give
+    # MAE == RMSE == 1 exactly (the grid-stride coverage test).
+    for n in (1, 33, 1 << 10, 1 << 16):
+        mae, rmse = metrics_from_errors(jnp.ones(n))
+        # XLA CPU rewrites /n as *reciprocal(n) (fastmath), so allow 1 ulp.
+        np.testing.assert_allclose(float(mae), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(rmse), 1.0, rtol=1e-6)
+
+
+def test_evaluate_on_device(toy_csr):
+    m = ones_model(toy_csr.n_users, toy_csr.n_items)
+    dev = to_device(toy_csr)
+    rmse, mae = evaluate(m, dev)
+    np.testing.assert_allclose(rmse, float(np.sqrt(74.0 / 18.0)), rtol=1e-6)
+    expected_mae = (4 * 3 + 2 * 3 + 1 * 3 + 3 + 1 + 1) / 18.0
+    np.testing.assert_allclose(mae, expected_mae, rtol=1e-6)
+
+
+def test_evaluate_respects_padding(toy_csr):
+    m = ones_model(toy_csr.n_users, toy_csr.n_items)
+    dev = to_device(toy_csr, pad_multiple=32)
+    assert dev.indices.shape[0] == 32
+    rmse, _ = evaluate(m, dev)
+    np.testing.assert_allclose(rmse, float(np.sqrt(74.0 / 18.0)), rtol=1e-6)

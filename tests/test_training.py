@@ -1,0 +1,88 @@
+"""Training-loop tests — parity with reference tests/test_training.cu
+(convergence smoke: loss non-increasing over 10 iterations,
+test_training.cu:42-45) plus plateau-decay and resume behavior."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cu2rec_tpu.train.trainer import eval_segments, train
+from cu2rec_tpu.utils.config import Config
+from cu2rec_tpu.utils.metrics import MetricsLogger
+
+
+def quiet():
+    return MetricsLogger(verbose=False)
+
+
+def test_eval_segments_cadence():
+    # eval after iteration 1, every check_error, and the last iteration
+    segs = list(eval_segments(10, 3))
+    assert segs == [(1, 1), (2, 3), (3, 6), (3, 9), (1, 10)]
+    segs = list(eval_segments(5, 500))
+    assert segs == [(1, 1), (4, 5)]
+    segs = list(eval_segments(1000, 500))
+    assert segs == [(1, 1), (499, 500), (500, 1000)]
+
+
+def test_convergence_smoke(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=10, n_factors=2, learning_rate=0.1,
+                 check_error=1, patience=100)
+    _, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                      logger=quiet())
+    assert losses[1] >= losses[10]  # test_training.cu:42-45
+
+
+def test_longer_training_reduces_rmse(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=200, n_factors=4, learning_rate=0.05,
+                 check_error=50)
+    _, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                      logger=quiet())
+    assert losses[200] < 0.75 * losses[1]
+
+
+def test_lr_plateau_decay(toy_csr, toy_ratings):
+    # A huge LR diverges → validation RMSE worsens → decay must trigger.
+    cfg = Config(total_iterations=30, n_factors=2, learning_rate=5.0,
+                 check_error=2, patience=1, learning_rate_decay=0.5)
+    logger = quiet()
+    train(toy_csr, toy_csr, cfg, toy_ratings.global_bias, logger=logger)
+    decays = [r for r in logger.history if r["event"] == "lr_decay"]
+    assert decays, "plateau decay never triggered"
+    assert cfg.learning_rate < 5.0
+
+
+def test_cur_iterations_advances(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=7, n_factors=2, check_error=3)
+    train(toy_csr, toy_csr, cfg, toy_ratings.global_bias, logger=quiet())
+    assert cfg.cur_iterations == 7
+
+
+def test_mean_collision_policy_trains(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=50, n_factors=2, learning_rate=0.1,
+                 check_error=25, collision_policy="mean")
+    _, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                      logger=quiet())
+    assert losses[50] < losses[1]
+
+
+def test_checkpoint_resume_roundtrip(toy_csr, toy_ratings, tmp_path):
+    from cu2rec_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    cfg = Config(total_iterations=5, n_factors=2, check_error=2)
+    model, _ = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                     logger=quiet())
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, model, cfg)
+    model2, cfg2, _ = load_checkpoint(path)
+    assert cfg2.cur_iterations == 5
+    np.testing.assert_allclose(np.asarray(model2.P), np.asarray(model.P))
+    np.testing.assert_allclose(np.asarray(model2.Q), np.asarray(model.Q))
+    assert float(model2.global_bias) == float(model.global_bias)
+
+
+def test_bfloat16_trains(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=20, n_factors=2, learning_rate=0.1,
+                 check_error=10, dtype="bfloat16")
+    model, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                          logger=quiet())
+    assert model.P.dtype == jnp.bfloat16
+    assert np.isfinite(losses[20])
