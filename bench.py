@@ -33,7 +33,6 @@ def main() -> None:
     from cu2rec_tpu.data.csr import to_device
     from cu2rec_tpu.models.state import init_model
     from cu2rec_tpu.ops.sgd import Hyper
-    from cu2rec_tpu.train.trainer import run_steps
     from cu2rec_tpu.utils.config import Config
 
     rd = read_ratings_csv("data/ml100k_ratings.csv")
@@ -46,16 +45,20 @@ def main() -> None:
     model = init_model(csr.n_users, csr.n_items, cfg.n_factors,
                        rd.global_bias, seed=cfg.seed)
 
+    from cu2rec_tpu.ops.packed import pack, packed_run_steps
+    from cu2rec_tpu.utils.timing import fetch_barrier
+
+    pm = pack(model)
     # Warmup / compile.
-    model = run_steps(model, dev, hp, key, jnp.int32(0), 50, True,
-                      "first_wins")
-    jax.block_until_ready(model.P)
+    pm = packed_run_steps(pm, dev, hp, key, jnp.int32(0), 50, True,
+                          "first_wins")
+    fetch_barrier(pm.T_u)
 
     iters = 2000
     t0 = time.perf_counter()
-    model = run_steps(model, dev, hp, key, jnp.int32(50), iters, True,
-                      "first_wins")
-    jax.block_until_ready(model.P)
+    pm = packed_run_steps(pm, dev, hp, key, jnp.int32(50), iters, True,
+                          "first_wins")
+    fetch_barrier(pm.T_u)
     dt = time.perf_counter() - t0
     tpu_ups = csr.n_users * iters / dt
 

@@ -97,11 +97,13 @@ class DeviceRatings:
     n_items: int
 
 
-def to_device(csr: CSRRatings, pad_multiple: int = 1, sharding=None) -> DeviceRatings:
+def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None) -> DeviceRatings:
     """Upload a host CSR to the device (the H→D boundary of matrix.cu:28-40).
 
     Padding rows carry user=0/item=0/rating=0 and are masked out by eval via
-    the true ``nnz``.
+    the true ``nnz``.  The default ``pad_multiple=128`` keeps the flat
+    arrays lane-aligned so ops can use the fast row-gather path
+    (cu2rec_tpu.ops.sgd.gather_1d).
     """
     import jax
     import jax.numpy as jnp

@@ -94,6 +94,52 @@ def evaluate(model: MFModel, dev: DeviceRatings,
     return float(rmse), float(mae)
 
 
+@partial(jax.jit, static_argnames=("chunk_size",))
+def _eval_packed_jit(pm, dev: DeviceRatings, chunk_size: int):
+    """Eval over packed tables: one row gather per side fetches factors and
+    bias together (see cu2rec_tpu.ops.packed)."""
+    F = pm.n_factors
+    n = dev.indices.shape[0]
+    mask = jnp.arange(n, dtype=jnp.int32) < jnp.int32(dev.nnz)
+    W = pm.width
+    col = jnp.arange(W)
+    factor = (col < F).astype(jnp.float32)
+    biascol = (col == F).astype(jnp.float32)
+
+    def chunk_err(rows, cols, vals, m):
+        ru = pm.T_u[rows].astype(jnp.float32)
+        ri = pm.T_i[cols].astype(jnp.float32)
+        ihat = ri * factor + biascol
+        pred = pm.global_bias + jnp.sum(ru * ihat, axis=-1) + ri[:, F]
+        return jnp.where(m, vals - pred, 0.0)
+
+    n_chunks = max(-(-n // chunk_size), 1)
+    padded = n_chunks * chunk_size
+
+    def pad(x, fill=0):
+        return jnp.pad(x, (0, padded - n), constant_values=fill)
+
+    rows_c = pad(dev.row_ids).reshape(n_chunks, -1)
+    cols_c = pad(dev.indices).reshape(n_chunks, -1)
+    vals_c = pad(dev.data).reshape(n_chunks, -1)
+    mask_c = pad(mask, False).reshape(n_chunks, -1)
+
+    def body(carry, chunk):
+        sse, sae = carry
+        err = chunk_err(*chunk)
+        return (sse + jnp.sum(err * err), sae + jnp.sum(jnp.abs(err))), None
+
+    (sse, sae), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
+                                 (rows_c, cols_c, vals_c, mask_c))
+    denom = jnp.float32(dev.nnz)
+    return jnp.sqrt(sse / denom), sae / denom
+
+
+def evaluate_packed(pm, dev: DeviceRatings, chunk_size: int = 1 << 20):
+    rmse, mae = _eval_packed_jit(pm, dev, chunk_size)
+    return float(rmse), float(mae)
+
+
 def metrics_from_errors(errors: jax.Array):
     """(MAE, RMSE) from a per-rating error vector
     (get_error_metrics semantics, loss.cu:132-143)."""

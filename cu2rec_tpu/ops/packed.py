@@ -1,0 +1,170 @@
+"""Packed-table fast path for the SGD step.
+
+TPU memory layout optimization: each user/item row stores its factors AND
+its bias in one lane-aligned vector —
+
+    T_u[u] = [ p_u(F) | b_u | 0-pad → W ]      W = lane-aligned width
+    T_i[i] = [ q_i(F) | b_i | 0-pad → W ]
+
+One gather fetches an item's factors *and* bias (the unpacked path needs a
+row gather plus a scalar gather), one scatter-add commits both updates
+(saving the scalar scatter, which on TPU costs nearly as much as the row
+scatter), and rows are 512-byte aligned for full-speed HBM access.
+
+The update itself collapses into a single fused elementwise expression per
+side by extending the gathered row: with ``x̂ = set_col(x, F, 1)``,
+
+    Δrow_u = lr · (e · t̂_i − reg_u ⊙ row_u)      reg_u = [P_reg…, ub_reg, 0…]
+    Δrow_i = lr · (e · t̂_u − reg_i ⊙ row_i)      reg_i = [Q_reg…, ib_reg, 0…]
+
+— column F of ``t̂`` being 1 makes the bias update ``lr·(e − reg·b)`` fall
+out of the same formula the factor columns use, and the zero padding stays
+zero because its reg is 0.  Semantics are exactly those of
+``cu2rec_tpu.ops.sgd.sgd_step`` (verified by tests/test_packed.py); only
+the arithmetic layout changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cu2rec_tpu.models.state import MFModel
+from cu2rec_tpu.ops.sgd import (
+    Hyper, elect_winners, rotated_priority, sample_items, win_mask,
+)
+
+
+def packed_width(n_factors: int) -> int:
+    """Smallest lane-friendly width holding F factors + 1 bias."""
+    need = n_factors + 1
+    for w in (64, 128):
+        if need <= w:
+            return w
+    return -(-need // 128) * 128
+
+
+@dataclass
+class PackedModel:
+    """Packed parameter tables (a registered pytree)."""
+
+    T_u: jax.Array        # (n_users, W)
+    T_i: jax.Array        # (n_items, W)
+    global_bias: jax.Array
+    n_factors: int
+
+    @property
+    def width(self) -> int:
+        return self.T_u.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    PackedModel, data_fields=["T_u", "T_i", "global_bias"],
+    meta_fields=["n_factors"])
+
+
+def pack(model: MFModel) -> PackedModel:
+    F = model.n_factors
+    W = packed_width(F)
+
+    def pack_side(M, b):
+        row = jnp.concatenate([M, b[:, None].astype(M.dtype)], axis=1)
+        return jnp.pad(row, ((0, 0), (0, W - F - 1)))
+
+    return PackedModel(T_u=pack_side(model.P, model.user_bias),
+                       T_i=pack_side(model.Q, model.item_bias),
+                       global_bias=model.global_bias, n_factors=F)
+
+
+def unpack(pm: PackedModel) -> MFModel:
+    F = pm.n_factors
+    return MFModel(P=pm.T_u[:, :F], Q=pm.T_i[:, :F],
+                   user_bias=pm.T_u[:, F], item_bias=pm.T_i[:, F],
+                   global_bias=pm.global_bias)
+
+
+def _reg_vectors(hp: Hyper, F: int, W: int):
+    col = jnp.arange(W)
+    factor = col < F
+    biascol = col == F
+    reg_u = jnp.where(factor, hp.P_reg,
+                      jnp.where(biascol, hp.user_bias_reg, 0.0))
+    reg_i = jnp.where(factor, hp.Q_reg,
+                      jnp.where(biascol, hp.item_bias_reg, 0.0))
+    return (factor.astype(jnp.float32), biascol.astype(jnp.float32),
+            reg_u.astype(jnp.float32), reg_i.astype(jnp.float32))
+
+
+def packed_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
+                *, train_items: bool = True, collision: str = "first_wins",
+                rotation: int = 250) -> PackedModel:
+    """One SGD iteration over packed tables (single-device)."""
+    T_u, T_i = pm.T_u, pm.T_i
+    U, W = T_u.shape
+    I = T_i.shape[0]
+    F = pm.n_factors
+    dt = T_u.dtype
+    lr = hp.learning_rate
+
+    items, ratings, has = sample_items(key, iteration, dev.indptr,
+                                       dev.indices, dev.data)
+    row_i = T_i[items]                                   # (U, W) one gather
+    row_u32 = T_u.astype(jnp.float32)
+    row_i32 = row_i.astype(jnp.float32)
+
+    factor, biascol, reg_u, reg_i = _reg_vectors(hp, F, W)
+    # t̂: column F → 1 (so the bias update shares the factor formula),
+    # padding columns → 0.
+    ihat = row_i32 * factor + biascol
+    uhat = row_u32 * factor + biascol
+
+    # pred = μ + b_u + b_i + Σ_f p q  — Σ(row_u·î) contributes Σ p q + b_u.
+    pred = (pm.global_bias + jnp.sum(row_u32 * ihat, axis=-1)
+            + row_i32[:, F])
+    err = jnp.where(has, ratings - pred, 0.0)
+
+    hasf = has[:, None]
+    du = lr * (err[:, None] * ihat - reg_u * row_u32)
+    T_u_new = jnp.where(hasf, row_u32 + du, row_u32).astype(dt)
+
+    if not train_items:
+        return PackedModel(T_u=T_u_new, T_i=T_i,
+                           global_bias=pm.global_bias, n_factors=F)
+
+    di = lr * (err[:, None] * uhat - reg_i * row_i32)
+    if collision == "first_wins":
+        prio = rotated_priority(U, iteration, 0, U, rotation)
+        best, cand = elect_winners(items, has, prio, I)
+        win = win_mask(best, items, cand, has)
+        di = jnp.where(win[:, None], di, 0.0)
+    elif collision == "mean":
+        from cu2rec_tpu.ops.sgd import GATHER_LANES, gather_1d
+        I_pad = -(-I // GATHER_LANES) * GATHER_LANES
+        counts = jnp.zeros((I_pad,), dtype=jnp.float32).at[items].add(
+            has.astype(jnp.float32))
+        denom = gather_1d(jnp.maximum(counts, 1.0), items)
+        di = jnp.where(hasf, di / denom[:, None], 0.0)
+    elif collision == "sum":
+        # plain minibatch scatter-add: colliding updates accumulate.
+        di = jnp.where(hasf, di, 0.0)
+    else:
+        raise ValueError(f"unknown collision policy: {collision}")
+    T_i_new = T_i.at[items].add(di.astype(dt))
+    return PackedModel(T_u=T_u_new, T_i=T_i_new,
+                       global_bias=pm.global_bias, n_factors=F)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "train_items", "collision"),
+         donate_argnames=("pm",))
+def packed_run_steps(pm: PackedModel, dev, hp: Hyper, key, start_iter,
+                     n_steps: int, train_items: bool = True,
+                     collision: str = "first_wins") -> PackedModel:
+    def body(m, i):
+        return packed_step(m, dev, hp, key, start_iter + i,
+                           train_items=train_items, collision=collision), None
+
+    pm, _ = jax.lax.scan(body, pm, jnp.arange(n_steps, dtype=jnp.int32))
+    return pm

@@ -66,6 +66,77 @@ class Hyper(NamedTuple):
             cfg.user_bias_reg, cfg.item_bias_reg)))
 
 
+_M32 = jnp.uint32(0xFFFFFFFF)
+
+
+def _fmix32(x: jax.Array) -> jax.Array:
+    """murmur3 finalizer: full-avalanche 32-bit integer mix."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _key_words(key: jax.Array):
+    try:
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            kd = jax.random.key_data(key)
+            return kd[..., 0].astype(jnp.uint32), kd[..., 1].astype(jnp.uint32)
+    except (AttributeError, TypeError):
+        pass
+    kd = key.astype(jnp.uint32)
+    return kd[..., 0], kd[..., 1]
+
+
+def counter_uniform(key: jax.Array, iteration: jax.Array,
+                    uids: jax.Array) -> jax.Array:
+    """Uniform [0,1) as a pure function of (key, iteration, user id).
+
+    A vectorized counter-based stream (two chained murmur3 finalizer
+    rounds) replacing per-user ``fold_in`` threefry — ~30× cheaper on the
+    VPU while keeping the property the design needs: the draw for a global
+    user id is identical under any sharding of the user axis.  The
+    reference used one curand state per user (sgd.cu:11-16); statistical
+    (not cryptographic) quality is all item sampling needs.
+    """
+    k0, k1 = _key_words(key)
+    it = iteration.astype(jnp.uint32) if hasattr(iteration, "astype") \
+        else jnp.uint32(iteration)
+    h = _fmix32(uids.astype(jnp.uint32) ^ _fmix32(it ^ k1) ^ k0)
+    h = _fmix32(h + jnp.uint32(0x9E3779B9))
+    # 24 high bits → exact float32 in [0, 1)
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2 ** -24)
+
+
+GATHER_LANES = 128
+
+
+def gather_1d(flat: jax.Array, pos: jax.Array) -> jax.Array:
+    """Fast 1D gather: ``flat[pos]`` via a lane-aligned row gather.
+
+    XLA TPU executes element gathers/scatters ~element-at-a-time (measured
+    ~7-12 ns/elem — a 138K-element gather costs ~1.7 ms), while row
+    gathers of (8,128)-tileable slabs run near memory bandwidth (the same
+    element count in 128-wide rows: ~0.2 ms).  So: view the flat array as
+    (N/128, 128), row-gather ``pos // 128``, and select lane ``pos % 128``
+    with a one-hot reduce — all dense VPU work.
+
+    Requires ``flat.size`` to be a multiple of 128 (callers pad; see
+    ``cu2rec_tpu.data.csr.to_device``); falls back to the plain gather
+    otherwise.  Out-of-range rows clamp (standard XLA gather semantics),
+    matching ``flat[pos]``'s behavior for masked-out entries.
+    """
+    n = flat.shape[0]
+    if n % GATHER_LANES != 0:
+        return flat[pos]
+    rows = flat.reshape(-1, GATHER_LANES)[pos // GATHER_LANES]
+    onehot = (jnp.arange(GATHER_LANES, dtype=pos.dtype)
+              == (pos % GATHER_LANES)[:, None])
+    return jnp.sum(jnp.where(onehot, rows, 0), axis=1)
+
+
 def sample_items(key: jax.Array, iteration: jax.Array, indptr: jax.Array,
                  indices: jax.Array, data: jax.Array, user_offset: int = 0):
     """Sample one rated item per user from the CSR slices.
@@ -81,14 +152,12 @@ def sample_items(key: jax.Array, iteration: jax.Array, indptr: jax.Array,
     start = indptr[:-1]
     length = indptr[1:] - start
     n = start.shape[0]
-    it_key = jax.random.fold_in(key, iteration)
     uids = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(user_offset)
-    ukeys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(it_key, uids)
-    u01 = jax.vmap(lambda k: jax.random.uniform(k, ()))(ukeys)
+    u01 = counter_uniform(key, iteration, uids)
     off = jnp.minimum((u01 * length).astype(jnp.int32),
                       jnp.maximum(length - 1, 0))
     pos = start + off
-    return indices[pos], data[pos], length > 0
+    return gather_1d(indices, pos), gather_1d(data, pos), length > 0
 
 
 def elect_winners(items: jax.Array, has: jax.Array, prio: jax.Array,
@@ -98,18 +167,20 @@ def elect_winners(items: jax.Array, has: jax.Array, prio: jax.Array,
 
     ``prio`` is the rotated priority of each local user; the user with the
     minimum priority among all who sampled item y wins y.  Returns the
-    per-item best priority (for cross-shard ``pmin`` merging) — callers
-    derive the win mask with :func:`win_mask`.
+    per-item best priority (padded to a lane multiple so :func:`win_mask`
+    can use the fast row-gather; for cross-shard ``pmin`` merging) —
+    callers derive the win mask with :func:`win_mask`.
     """
     sentinel = jnp.iinfo(jnp.int32).max
+    n_pad = -(-n_items // GATHER_LANES) * GATHER_LANES
     cand = jnp.where(has, prio, sentinel)
-    best = jnp.full((n_items,), sentinel, dtype=jnp.int32).at[items].min(cand)
+    best = jnp.full((n_pad,), sentinel, dtype=jnp.int32).at[items].min(cand)
     return best, cand
 
 
 def win_mask(best: jax.Array, items: jax.Array, cand: jax.Array,
              has: jax.Array) -> jax.Array:
-    return has & (best[items] == cand)
+    return has & (gather_1d(best, items) == cand)
 
 
 def sgd_step(P, Q, user_bias, item_bias, global_bias,
@@ -160,9 +231,10 @@ def sgd_step(P, Q, user_bias, item_bias, global_bias,
     elif collision == "mean":
         # Average colliding updates instead of electing one winner.
         n_items = Q.shape[0]
-        counts = jnp.zeros((n_items,), dtype=jnp.float32).at[items].add(
+        n_pad = -(-n_items // GATHER_LANES) * GATHER_LANES
+        counts = jnp.zeros((n_pad,), dtype=jnp.float32).at[items].add(
             has.astype(jnp.float32))
-        denom = jnp.maximum(counts, 1.0)[items]
+        denom = gather_1d(jnp.maximum(counts, 1.0), items)
         dq = jnp.where(hasf, dq / denom[:, None], 0.0)
         dib = jnp.where(has, dib / denom, 0.0)
     else:

@@ -45,8 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cu2rec_tpu.data.csr import CSRRatings
 from cu2rec_tpu.models.state import MFModel, init_model
-from cu2rec_tpu.ops.loss import pairwise_errors
-from cu2rec_tpu.ops.sgd import Hyper, rotated_priority, sample_items, sgd_step
+from cu2rec_tpu.ops.sgd import Hyper, rotated_priority, sample_items
 from cu2rec_tpu.utils.config import Config
 
 INT32_MAX = np.iinfo(np.int32).max
@@ -164,61 +163,99 @@ def trim_model(model: MFModel, n_users: int, n_items: int) -> MFModel:
                    global_bias=model.global_bias)
 
 
-def _local_step(P_l, Q_l, ub_l, ib_l, mu, indptr_l, indices_l, data_l,
-                hp: Hyper, key, iteration, n_users_global: int,
-                *, train_items: bool, collision: str, rotation: int = 250):
-    """Body of one sharded SGD iteration (runs inside shard_map)."""
+def _local_step_packed(T_u_l, T_i_l, mu, indptr_l, indices_l, data_l,
+                       hp: Hyper, key, iteration, n_users_global: int,
+                       n_factors: int,
+                       *, train_items: bool, collision: str,
+                       rotation: int = 250):
+    """Body of one sharded SGD iteration over packed tables (runs inside
+    shard_map).  Collectives: one psum over 'ip' to assemble the sampled
+    item rows (factors *and* bias in one exchange), one pmin over 'dp' for
+    the election, one small psum over 'ip' for the win mask, and one psum
+    over 'dp' to commit the item-row deltas."""
     dp = jax.lax.axis_index("dp")
     ip = jax.lax.axis_index("ip")
-    U_loc = P_l.shape[0]
-    I_loc = Q_l.shape[0]
+    U_loc, W = T_u_l.shape
+    I_loc = T_i_l.shape[0]
+    F = n_factors
+    dt = T_u_l.dtype
+    lr = hp.learning_rate
     user_offset = dp * U_loc
     item_offset = ip * I_loc
 
     items, ratings, has = sample_items(key, iteration, indptr_l, indices_l,
                                        data_l, user_offset=user_offset)
-    prio = rotated_priority(n_users_global, iteration, user_offset, U_loc,
-                            rotation)
 
-    # Assemble this shard's view of the sampled item rows: each ip shard
-    # contributes its owned rows, psum over ip completes them.
+    # Assemble this shard's view of the sampled item rows.
     owned = (items >= item_offset) & (items < item_offset + I_loc)
     loc_idx = jnp.clip(items - item_offset, 0, I_loc - 1)
-    q_part = jnp.where(owned[:, None], Q_l[loc_idx], 0.0)
-    ib_part = jnp.where(owned, ib_l[loc_idx], 0.0)
-    q_rows = jax.lax.psum(q_part, "ip")
-    ib_rows = jax.lax.psum(ib_part, "ip")
+    row_i = jax.lax.psum(
+        jnp.where(owned[:, None], T_i_l[loc_idx], 0.0).astype(jnp.float32),
+        "ip")
 
-    # Mesh-wide deterministic first-wins election.
-    cand = jnp.where(has, prio, INT32_MAX)
-    cand_here = jnp.where(owned, cand, INT32_MAX)
-    best_l = jnp.full((I_loc,), INT32_MAX, dtype=jnp.int32).at[loc_idx].min(
-        cand_here)
-    best_l = jax.lax.pmin(best_l, "dp")
-    win_part = owned & has & (best_l[loc_idx] == cand)
-    win = jax.lax.psum(win_part.astype(jnp.int32), "ip") > 0
+    col = jnp.arange(W)
+    factor = (col < F).astype(jnp.float32)
+    biascol = (col == F).astype(jnp.float32)
+    reg_u = jnp.where(col < F, hp.P_reg,
+                      jnp.where(col == F, hp.user_bias_reg, 0.0))
+    reg_i = jnp.where(col < F, hp.Q_reg,
+                      jnp.where(col == F, hp.item_bias_reg, 0.0))
 
-    P_new, ub_new, dq, dib = sgd_step(
-        P_l, Q_l, ub_l, ib_l, mu, items, ratings, has, win, hp,
-        train_items=train_items, collision=collision,
-        q_rows=q_rows, item_bias_rows=ib_rows)
+    row_u = T_u_l.astype(jnp.float32)
+    ihat = row_i * factor + biascol
+    uhat = row_u * factor + biascol
+    pred = mu + jnp.sum(row_u * ihat, axis=-1) + row_i[:, F]
+    err = jnp.where(has, ratings - pred, 0.0)
+    hasf = has[:, None]
 
-    if train_items:
-        dq_here = jnp.where(owned[:, None], dq, 0.0)
-        dib_here = jnp.where(owned, dib, 0.0)
-        dQ_l = jnp.zeros_like(Q_l).at[loc_idx].add(dq_here)
-        dib_l = jnp.zeros_like(ib_l).at[loc_idx].add(dib_here)
-        Q_l = Q_l + jax.lax.psum(dQ_l, "dp")
-        ib_l = ib_l + jax.lax.psum(dib_l, "dp")
-    return P_new, Q_l, ub_new, ib_l
+    du = lr * (err[:, None] * ihat - reg_u * row_u)
+    T_u_new = jnp.where(hasf, row_u + du, row_u).astype(dt)
+
+    if not train_items:
+        return T_u_new, T_i_l
+
+    di = lr * (err[:, None] * uhat - reg_i * row_i)
+    if collision == "first_wins":
+        prio = rotated_priority(n_users_global, iteration, user_offset,
+                                U_loc, rotation)
+        cand = jnp.where(has, prio, INT32_MAX)
+        cand_here = jnp.where(owned, cand, INT32_MAX)
+        best_l = jnp.full((I_loc,), INT32_MAX,
+                          dtype=jnp.int32).at[loc_idx].min(cand_here)
+        best_l = jax.lax.pmin(best_l, "dp")
+        win_part = owned & has & (best_l[loc_idx] == cand)
+        win = jax.lax.psum(win_part.astype(jnp.int32), "ip") > 0
+        di = jnp.where(win[:, None], di, 0.0)
+    elif collision == "mean":
+        counts_l = jnp.zeros((I_loc,), dtype=jnp.float32).at[loc_idx].add(
+            jnp.where(owned & has, 1.0, 0.0))
+        counts_l = jax.lax.psum(counts_l, "dp")
+        denom = jax.lax.psum(
+            jnp.where(owned, jnp.maximum(counts_l, 1.0)[loc_idx], 0.0), "ip")
+        di = jnp.where(hasf, di / denom[:, None], 0.0)
+    elif collision == "sum":
+        di = jnp.where(hasf, di, 0.0)
+    else:
+        raise ValueError(f"unknown collision policy: {collision}")
+
+    di_here = jnp.where(owned[:, None], di, 0.0)
+    dT_l = jnp.zeros(T_i_l.shape, dtype=jnp.float32).at[loc_idx].add(di_here)
+    T_i_new = (T_i_l.astype(jnp.float32)
+               + jax.lax.psum(dT_l, "dp")).astype(dt)
+    return T_u_new, T_i_new
 
 
-def _eval_local(P_l, Q_full, ub_l, ib_full, mu, row_ids_l, indices_l,
-                data_l, nnz_l, chunk_size: int):
-    """Local partial error sums over this dp shard's ratings (item tables
-    pre-assembled to full)."""
+def _eval_local_packed(T_u_l, T_i_full, mu, n_factors: int, row_ids_l,
+                       indices_l, data_l, nnz_l, chunk_size: int):
+    """Local partial error sums over this dp shard's ratings (item table
+    pre-assembled to full via all_gather)."""
     n = indices_l.shape[0]
     mask = jnp.arange(n, dtype=jnp.int32) < nnz_l
+    W = T_u_l.shape[1]
+    F = n_factors
+    col = jnp.arange(W)
+    factor = (col < F).astype(jnp.float32)
+    biascol = (col == F).astype(jnp.float32)
 
     n_chunks = max(-(-n // chunk_size), 1)
     padded = n_chunks * chunk_size
@@ -234,8 +271,10 @@ def _eval_local(P_l, Q_full, ub_l, ib_full, mu, row_ids_l, indices_l,
     def body(carry, chunk):
         sse, sae = carry
         r, c, v, m = chunk
-        err = pairwise_errors(P_l, Q_full, ub_l, ib_full, mu, r, c, v)
-        err = jnp.where(m, err, 0.0)
+        ru = T_u_l[r].astype(jnp.float32)
+        ri = T_i_full[c].astype(jnp.float32)
+        pred = mu + jnp.sum(ru * (ri * factor + biascol), axis=-1) + ri[:, F]
+        err = jnp.where(m, v - pred, 0.0)
         return (sse + jnp.sum(err * err), sae + jnp.sum(jnp.abs(err))), None
 
     (sse, sae), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
@@ -279,17 +318,18 @@ class ShardedEngine:
         U_pad = self.U_pad
         n_users_global = U_pad  # rotation modulus over padded users
         eval_chunk = self.eval_chunk
+        n_factors = self.cfg.n_factors
 
         try:
             from jax import shard_map as _sm
             shard_map = partial(_sm, check_vma=False)
-        except ImportError:  # older JAX
+        except (ImportError, TypeError):  # older JAX
             from jax.experimental.shard_map import shard_map as _sm
             shard_map = partial(_sm, check_rep=False)
 
         # Pytrees of arrays are passed to shard_map as flat tuples to keep
         # in_specs simple and independent of dataclass metadata.
-        model_specs = (P("dp", None), P("ip", None), P("dp"), P("ip"), P())
+        model_specs = (P("dp", None), P("ip", None), P())
         ratings_specs = (P("dp", None), P("dp", None), P("dp", None),
                          P("dp", None), P("dp"))
 
@@ -298,13 +338,13 @@ class ShardedEngine:
             indptr, indices, data, _row_ids, _nnz = (x[0] for x in ratings_t)
 
             def one(carry, i):
-                P_l, Q_l, ub_l, ib_l, mu = carry
+                T_u_l, T_i_l, mu = carry
                 it = start_iter + i
-                P_new, Q_new, ub_new, ib_new = _local_step(
-                    P_l, Q_l, ub_l, ib_l, mu, indptr, indices, data,
-                    hp, key, it, n_users_global, train_items=train_items,
-                    collision=collision)
-                return (P_new, Q_new, ub_new, ib_new, mu), None
+                T_u_new, T_i_new = _local_step_packed(
+                    T_u_l, T_i_l, mu, indptr, indices, data,
+                    hp, key, it, n_users_global, n_factors,
+                    train_items=train_items, collision=collision)
+                return (T_u_new, T_i_new, mu), None
 
             carry, _ = jax.lax.scan(
                 one, model_t, jnp.arange(n_steps, dtype=jnp.int32))
@@ -326,13 +366,13 @@ class ShardedEngine:
         self._run_jit = run
 
         def eval_body(model_t, ratings_t, total_nnz):
-            P_l, Q_l, ub_l, ib_l, mu = model_t
+            T_u_l, T_i_l, mu = model_t
             _indptr, indices, data, row_ids, nnz = (x[0] for x in ratings_t)
-            # Assemble full item tables once per eval (all_gather over ip).
-            Q_full = jax.lax.all_gather(Q_l, "ip", axis=0, tiled=True)
-            ib_full = jax.lax.all_gather(ib_l, "ip", axis=0, tiled=True)
-            sse, sae = _eval_local(P_l, Q_full, ub_l, ib_full, mu,
-                                   row_ids, indices, data, nnz, eval_chunk)
+            # Assemble the full item table once per eval (all_gather, ip).
+            T_i_full = jax.lax.all_gather(T_i_l, "ip", axis=0, tiled=True)
+            sse, sae = _eval_local_packed(T_u_l, T_i_full, mu, n_factors,
+                                          row_ids, indices, data, nnz,
+                                          eval_chunk)
             sse = jax.lax.psum(sse, "dp")
             sae = jax.lax.psum(sae, "dp")
             denom = total_nnz.astype(jnp.float32)
@@ -349,46 +389,49 @@ class ShardedEngine:
         self._evaluate_jit = evaluate
 
     @staticmethod
-    def _model_tuple(model: MFModel):
-        return (model.P, model.Q, model.user_bias, model.item_bias,
-                model.global_bias)
-
-    @staticmethod
     def _ratings_tuple(sh: ShardedRatings):
         return (sh.indptr, sh.indices, sh.data, sh.row_ids, sh.nnz)
 
     # -- engine interface ------------------------------------------------
+    # Engine state: (T_u (U_pad, W), T_i (I_pad, W), global_bias) — packed
+    # tables (see ops/packed.py) placed on the mesh.
+
+    def prepare(self, model: MFModel):
+        from cu2rec_tpu.ops.packed import pack
+        pm = pack(model)
+        T_u = jnp.pad(pm.T_u, ((0, self.U_pad - pm.T_u.shape[0]), (0, 0)))
+        T_i = jnp.pad(pm.T_i, ((0, self.I_pad - pm.T_i.shape[0]), (0, 0)))
+        T_u = jax.device_put(T_u, NamedSharding(self.mesh, P("dp", None)))
+        T_i = jax.device_put(T_i, NamedSharding(self.mesh, P("ip", None)))
+        return (T_u, T_i, pm.global_bias)
+
     def init_model(self, n_users: int, n_items: int, global_bias: float,
-                   Q=None, item_bias=None) -> MFModel:
+                   Q=None, item_bias=None):
         model = init_model(n_users, n_items, self.cfg.n_factors, global_bias,
                            seed=self.cfg.seed,
                            dtype=jnp.dtype(self.cfg.dtype),
                            Q=Q, item_bias=item_bias)
-        return pad_model(model, self.U_pad, self.I_pad, self.mesh)
+        return self.prepare(model)
 
-    def run(self, model: MFModel, hp: Hyper, start_iter: int,
-            n_steps: int) -> MFModel:
-        if (model.P.shape[0] != self.U_pad
-                or model.Q.shape[0] != self.I_pad):
-            model = pad_model(model, self.U_pad, self.I_pad, self.mesh)
-        out = self._run_jit(self._model_tuple(model),
-                            self._ratings_tuple(self.train_sh), hp, self.key,
-                            jnp.int32(start_iter), n_steps,
-                            bool(self.cfg.is_train),
-                            self.cfg.collision_policy)
-        P_arr, Q_arr, ub, ib, mu = out
-        return MFModel(P=P_arr, Q=Q_arr, user_bias=ub, item_bias=ib,
-                       global_bias=mu)
+    def run(self, state, hp: Hyper, start_iter: int, n_steps: int):
+        if isinstance(state, MFModel):
+            state = self.prepare(state)
+        return self._run_jit(state, self._ratings_tuple(self.train_sh),
+                             hp, self.key, jnp.int32(start_iter), n_steps,
+                             bool(self.cfg.is_train),
+                             self.cfg.collision_policy)
 
-    def evaluate(self, model: MFModel, split: str):
+    def evaluate(self, state, split: str):
+        if isinstance(state, MFModel):
+            state = self.prepare(state)
         sh = self.train_sh if split == "train" else self.test_sh
-        if (model.P.shape[0] != self.U_pad
-                or model.Q.shape[0] != self.I_pad):
-            model = pad_model(model, self.U_pad, self.I_pad, self.mesh)
-        rmse, mae = self._evaluate_jit(self._model_tuple(model),
-                                       self._ratings_tuple(sh),
+        rmse, mae = self._evaluate_jit(state, self._ratings_tuple(sh),
                                        jnp.int32(sh.total_nnz))
         return float(rmse), float(mae)
 
-    def finalize(self, model: MFModel) -> MFModel:
-        return trim_model(model, self.n_users, self.n_items)
+    def finalize(self, state) -> MFModel:
+        from cu2rec_tpu.ops.packed import PackedModel, unpack
+        T_u, T_i, mu = state
+        pm = PackedModel(T_u=T_u[:self.n_users], T_i=T_i[:self.n_items],
+                         global_bias=mu, n_factors=self.cfg.n_factors)
+        return unpack(pm)

@@ -42,4 +42,4 @@ def fold_in_user(Q, item_bias, global_bias: float,
                        seed=cfg.seed, dtype=jnp.dtype(cfg.dtype),
                        Q=Q, item_bias=item_bias)
     logger = MetricsLogger(verbose=verbose)
-    return train_with_engine(engine, cfg, model, logger)
+    return train_with_engine(engine, cfg, engine.prepare(model), logger)

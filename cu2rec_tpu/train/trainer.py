@@ -81,40 +81,64 @@ def run_steps(model: MFModel, dev: DeviceRatings, hp: Hyper,
 
 
 class SingleChipEngine:
-    """Default execution engine: one device, plain jit."""
+    """Default execution engine: one device, plain jit.
+
+    The engine's *state* is opaque to the host loop — here it is a
+    :class:`cu2rec_tpu.ops.packed.PackedModel` (factors+bias packed into
+    one lane-aligned row per user/item; see ops/packed.py for why), with
+    ``prepare``/``finalize`` converting from/to the public MFModel.  Set
+    ``packed=False`` to run the plain unpacked step.
+    """
 
     def __init__(self, train_csr: CSRRatings, test_csr: CSRRatings,
-                 cfg: Config, eval_chunk: int = 1 << 20):
+                 cfg: Config, eval_chunk: int = 1 << 20,
+                 packed: bool = True):
         self.train_dev = to_device(train_csr)
         self.test_dev = to_device(test_csr)
         self.cfg = cfg
         self.eval_chunk = eval_chunk
         self.key = jax.random.PRNGKey(cfg.seed)
+        self.packed = packed and not cfg.use_pallas
         if cfg.use_pallas:
             from cu2rec_tpu.ops.sgd_pallas import pallas_run_steps
             self._runner = pallas_run_steps
+        elif self.packed:
+            from cu2rec_tpu.ops.packed import packed_run_steps
+            self._runner = packed_run_steps
         else:
             self._runner = run_steps
 
     def init_model(self, n_users: int, n_items: int, global_bias: float,
-                   Q=None, item_bias=None) -> MFModel:
-        return init_model(n_users, n_items, self.cfg.n_factors, global_bias,
-                          seed=self.cfg.seed, dtype=jnp.dtype(self.cfg.dtype),
-                          Q=Q, item_bias=item_bias)
+                   Q=None, item_bias=None):
+        return self.prepare(init_model(
+            n_users, n_items, self.cfg.n_factors, global_bias,
+            seed=self.cfg.seed, dtype=jnp.dtype(self.cfg.dtype),
+            Q=Q, item_bias=item_bias))
 
-    def run(self, model: MFModel, hp: Hyper, start_iter: int,
-            n_steps: int) -> MFModel:
-        return self._runner(model, self.train_dev, hp, self.key,
+    def prepare(self, model: MFModel):
+        if self.packed:
+            from cu2rec_tpu.ops.packed import pack
+            return pack(model)
+        return model
+
+    def run(self, state, hp: Hyper, start_iter: int, n_steps: int):
+        return self._runner(state, self.train_dev, hp, self.key,
                             jnp.int32(start_iter), n_steps,
                             bool(self.cfg.is_train),
                             self.cfg.collision_policy)
 
-    def evaluate(self, model: MFModel, split: str):
+    def evaluate(self, state, split: str):
         dev = self.train_dev if split == "train" else self.test_dev
-        return evaluate(model, dev, self.eval_chunk)
+        if self.packed:
+            from cu2rec_tpu.ops.loss import evaluate_packed
+            return evaluate_packed(state, dev, self.eval_chunk)
+        return evaluate(state, dev, self.eval_chunk)
 
-    def finalize(self, model: MFModel) -> MFModel:
-        return model
+    def finalize(self, state) -> MFModel:
+        if self.packed:
+            from cu2rec_tpu.ops.packed import unpack
+            return unpack(state)
+        return state
 
 
 def eval_segments(total_iterations: int, check_error: int):
@@ -187,7 +211,10 @@ def train_with_engine(engine, cfg: Config, model: MFModel,
             logger.log_lr_decay(lr)
 
     model = engine.finalize(model)
-    jax.block_until_ready(model.P)
+    # device→host fetch: the only reliable completion barrier on this
+    # platform (see cu2rec_tpu.utils.timing)
+    from cu2rec_tpu.utils.timing import fetch_barrier
+    fetch_barrier(model.P)
     elapsed = time.perf_counter() - start_time
     logger.log_time(total, elapsed)
     return model, losses
@@ -210,6 +237,8 @@ def train(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     """
     engine = engine or SingleChipEngine(train_csr, test_csr, cfg, eval_chunk)
     if model is None:
-        model = engine.init_model(train_csr.n_users, train_csr.n_items,
+        state = engine.init_model(train_csr.n_users, train_csr.n_items,
                                   global_bias)
-    return train_with_engine(engine, cfg, model, logger)
+    else:
+        state = engine.prepare(model) if hasattr(engine, "prepare") else model
+    return train_with_engine(engine, cfg, state, logger)

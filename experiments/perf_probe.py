@@ -9,6 +9,11 @@ Synthetic data with a power-law item popularity, ML-20M-like by default
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import argparse
 import time
 
@@ -26,6 +31,7 @@ def main() -> None:
     p.add_argument("--collision", default="first_wins")
     p.add_argument("--eval", action="store_true", help="also time eval")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--packed", action="store_true")
     args = p.parse_args()
 
     from cu2rec_tpu.utils.cache import enable_compile_cache
@@ -60,18 +66,29 @@ def main() -> None:
     if args.pallas:
         from cu2rec_tpu.ops.sgd_pallas import pallas_run_steps
         runner = pallas_run_steps
+    elif args.packed:
+        from cu2rec_tpu.ops.packed import pack, packed_run_steps, unpack
+        pm = pack(model)
+
+        def runner(model, dev, hp, key, start, n, train_items, collision,
+                   _box=[pm]):
+            _box[0] = packed_run_steps(_box[0], dev, hp, key, start, n,
+                                       train_items, collision)
+            return unpack(_box[0])
+
+    from cu2rec_tpu.utils.timing import fetch_barrier
 
     # compile
     t0 = time.perf_counter()
     model = runner(model, dev, hp, key, jnp.int32(0), 10, True,
                    args.collision)
-    jax.block_until_ready(model.P)
+    fetch_barrier(model.P)
     print(f"compile+10 steps: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
     model = runner(model, dev, hp, key, jnp.int32(10), args.iters, True,
                    args.collision)
-    jax.block_until_ready(model.P)
+    fetch_barrier(model.P)
     dt = time.perf_counter() - t0
     per_step = dt / args.iters
 

@@ -15,6 +15,11 @@ in jax.profiler.trace (the nvprof analogue, experiments/cu2rec_prof.sh).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import argparse
 import datetime
 import json

@@ -1,0 +1,88 @@
+"""Packed-table fast path: must be numerically equivalent to the unpacked
+reference step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cu2rec_tpu.data.csr import to_device
+from cu2rec_tpu.models.state import init_model
+from cu2rec_tpu.ops.packed import (
+    pack, packed_run_steps, packed_step, packed_width, unpack,
+)
+from cu2rec_tpu.ops.sgd import Hyper
+from cu2rec_tpu.train.trainer import run_steps, single_step
+
+HP = Hyper(jnp.float32(0.05), jnp.float32(0.1), jnp.float32(0.1),
+           jnp.float32(0.1), jnp.float32(0.1))
+
+
+def test_packed_width():
+    assert packed_width(50) == 64
+    assert packed_width(63) == 64
+    assert packed_width(64) == 128
+    assert packed_width(100) == 128
+    assert packed_width(127) == 128
+    assert packed_width(300) == 384
+
+
+def test_pack_unpack_roundtrip(toy_csr):
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5, seed=1)
+    back = unpack(pack(model))
+    np.testing.assert_array_equal(np.asarray(back.P), np.asarray(model.P))
+    np.testing.assert_array_equal(np.asarray(back.Q), np.asarray(model.Q))
+    np.testing.assert_array_equal(np.asarray(back.user_bias),
+                                  np.asarray(model.user_bias))
+    np.testing.assert_array_equal(np.asarray(back.item_bias),
+                                  np.asarray(model.item_bias))
+
+
+@pytest.mark.parametrize("collision", ["first_wins", "mean"])
+def test_packed_step_matches_unpacked(toy_csr, collision):
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5556, seed=3)
+    dev = to_device(toy_csr)
+    key = jax.random.PRNGKey(11)
+    a = model
+    b = pack(model)
+    for it in range(5):
+        a = single_step(a, dev, HP, key, jnp.int32(it), collision=collision)
+        b = packed_step(b, dev, HP, key, jnp.int32(it), collision=collision)
+    bu = unpack(b)
+    np.testing.assert_allclose(np.asarray(bu.P), np.asarray(a.P), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(bu.Q), np.asarray(a.Q), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(bu.user_bias),
+                               np.asarray(a.user_bias), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(bu.item_bias),
+                               np.asarray(a.item_bias), atol=2e-6)
+
+
+def test_packed_run_steps_matches(toy_csr):
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5556, seed=3)
+    dev = to_device(toy_csr)
+    key = jax.random.PRNGKey(7)
+    a = run_steps(jax.tree.map(jnp.copy, model), dev, HP, key, jnp.int32(0),
+                  10, True, "first_wins")
+    b = packed_run_steps(pack(model), dev, HP, key, jnp.int32(0), 10, True,
+                         "first_wins")
+    bu = unpack(b)
+    np.testing.assert_allclose(np.asarray(bu.P), np.asarray(a.P), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(bu.Q), np.asarray(a.Q), atol=5e-6)
+
+
+def test_packed_foldin_freezes(toy_csr):
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5, seed=3)
+    dev = to_device(toy_csr)
+    pm = pack(model)
+    out = packed_step(pm, dev, HP, jax.random.PRNGKey(0), jnp.int32(0),
+                      train_items=False)
+    np.testing.assert_array_equal(np.asarray(out.T_i), np.asarray(pm.T_i))
+    assert not np.array_equal(np.asarray(out.T_u), np.asarray(pm.T_u))
+
+
+def test_packed_sum_policy_runs(toy_csr):
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5, seed=3)
+    dev = to_device(toy_csr)
+    out = packed_step(pack(model), dev, HP, jax.random.PRNGKey(0),
+                      jnp.int32(0), collision="sum")
+    assert np.isfinite(np.asarray(out.T_i)).all()

@@ -83,8 +83,7 @@ def test_sharded_matches_single_chip(toy_csr, cfg, n_dp, n_ip):
     engine = ShardedEngine(toy_csr, toy_csr, cfg, mesh=make_mesh(n_dp, n_ip))
     U_pad = engine.U_pad
 
-    sharded = engine.run(model0, HP, 0, 10)
-    sharded = trim_model(sharded, toy_csr.n_users, toy_csr.n_items)
+    sharded = engine.finalize(engine.run(model0, HP, 0, 10))
 
     # For exact comparison, run the single-chip path over the padded user
     # space (same rotation modulus, same per-user sample streams).
