@@ -45,7 +45,7 @@ def main() -> None:
     model = init_model(csr.n_users, csr.n_items, cfg.n_factors,
                        rd.global_bias, seed=cfg.seed)
 
-    from cu2rec_tpu.ops.packed import pack, packed_run_steps
+    from cu2rec_tpu.ops.packed import pack, packed_run_steps, unpack
     from cu2rec_tpu.utils.timing import fetch_barrier
 
     pm = pack(model)
@@ -70,6 +70,27 @@ def main() -> None:
     cpu_dt = time.perf_counter() - t0
     cpu_ups = csr.n_users * cpu_cfg.total_iterations / cpu_dt
 
+    # Serving-path throughput: full-catalog MXU scoring + top-10
+    # (BASELINE.json config 5).
+    from cu2rec_tpu.serve.recommend import _topk_users
+    from cu2rec_tpu.models.state import COMPONENTS  # noqa: F401
+    import jax.numpy as _jnp
+    B = 512
+    um = unpack(pm)
+    rated = _jnp.zeros((B, 1), dtype=_jnp.int32)
+    rmask = _jnp.zeros((B, 1), dtype=bool)
+    uids = _jnp.arange(B) % csr.n_users
+    s_out = _topk_users(um.P[uids], um.user_bias[uids], um.Q, um.item_bias,
+                        um.global_bias, rated, rmask, 10)
+    fetch_barrier(s_out[0])
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        s_out = _topk_users(um.P[uids], um.user_bias[uids], um.Q,
+                            um.item_bias, um.global_bias, rated, rmask, 10)
+    fetch_barrier(s_out[0])
+    serve_qps = B * reps / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "ml100k_sgd_user_updates_per_s",
         "value": round(tpu_ups, 1),
@@ -84,6 +105,7 @@ def main() -> None:
             "iterations_timed": iters,
             "wall_s": round(dt, 4),
             "cpu_sequential_updates_per_s": round(cpu_ups, 1),
+            "serving_top10_users_per_s": round(serve_qps, 1),
         },
     }))
 

@@ -68,8 +68,23 @@ def build_csr(ratings: RatingsData, n_users: int | None = None,
 
 
 def csr_from_arrays(users: np.ndarray, items: np.ndarray, data: np.ndarray,
-                    n_users: int, n_items: int) -> CSRRatings:
-    """CSR from (possibly unsorted) triplets — sorts by (user, item)."""
+                    n_users: int, n_items: int,
+                    use_native: bool = True) -> CSRRatings:
+    """CSR from (possibly unsorted) triplets — sorts by (user, item).
+
+    Uses the native parallel counting-sort builder when available (the
+    np.lexsort path dominates host prep at Netflix scale: ~9 s for 20M
+    rows vs <1 s native); falls back to NumPy."""
+    if use_native and len(users) > 0:
+        try:
+            from cu2rec_tpu.data.native import native_csr_build
+            indptr, s_items, s_data = native_csr_build(
+                np.asarray(users), np.asarray(items), np.asarray(data),
+                n_users)
+            return CSRRatings(indptr=indptr, indices=s_items, data=s_data,
+                              n_users=n_users, n_items=n_items)
+        except Exception:
+            pass
     order = np.lexsort((items, users))
     rd = RatingsData(users=users[order].astype(np.int32),
                      items=items[order].astype(np.int32),

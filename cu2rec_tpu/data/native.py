@@ -66,6 +66,13 @@ def get_lib():
         ]
         lib.cu2rec_ingest_close.restype = None
         lib.cu2rec_ingest_close.argtypes = [ctypes.c_void_p]
+        lib.cu2rec_csr_build.restype = ctypes.c_int
+        lib.cu2rec_csr_build.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _LIB = lib
         return _LIB
 
@@ -97,3 +104,33 @@ def native_read_ratings(path: str, delim: int, skip_lines: int):
     finally:
         lib.cu2rec_ingest_close(handle)
     return users, items, ratings
+
+
+def native_csr_build(users: np.ndarray, items: np.ndarray,
+                     ratings: np.ndarray, n_users: int):
+    """Parallel counting-sort CSR build: returns
+    (indptr, sorted_items, sorted_ratings) sorted by (user, item).
+
+    Raises if the native library is unavailable or ids are out of range
+    (caller falls back to the NumPy path).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    n = users.shape[0]
+    users = np.ascontiguousarray(users, dtype=np.int32)
+    items = np.ascontiguousarray(items, dtype=np.int32)
+    ratings = np.ascontiguousarray(ratings, dtype=np.float32)
+    indptr = np.empty(n_users + 1, dtype=np.int32)
+    out_items = np.empty(n, dtype=np.int32)
+    out_ratings = np.empty(n, dtype=np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.cu2rec_csr_build(
+        users.ctypes.data_as(i32p), items.ctypes.data_as(i32p),
+        ratings.ctypes.data_as(f32p), n, n_users,
+        indptr.ctypes.data_as(i32p), out_items.ctypes.data_as(i32p),
+        out_ratings.ctypes.data_as(f32p))
+    if rc != 0:
+        raise ValueError("user id out of range in native_csr_build")
+    return indptr, out_items, out_ratings

@@ -204,3 +204,78 @@ void cu2rec_ingest_close(void* handle) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel CSR build: counting-sort ratings by user (stable), then sort each
+// user's slice by item id.  Replaces np.lexsort + cumsum, which dominates
+// host-side prep at Netflix scale (~100M rows).  The TPU-native equivalent
+// of the reference's createSparseMatrix precondition pipeline
+// (util.cu:152-179 + preprocessing/sort_ratings.py).
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <atomic>
+
+extern "C" {
+
+// users/items: int32 0-based; ratings float32; n rows.
+// Outputs (caller-allocated): indptr int32[n_users+1],
+// out_items int32[n], out_ratings float32[n].
+// Returns 0 on success, -1 on invalid input (user id out of range).
+int cu2rec_csr_build(const int32_t* users, const int32_t* items,
+                     const float* ratings, int64_t n, int32_t n_users,
+                     int32_t* indptr, int32_t* out_items,
+                     float* out_ratings) {
+    std::vector<int64_t> counts(n_users + 1, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t u = users[i];
+        if (u < 0 || u >= n_users) return -1;
+        ++counts[u + 1];
+    }
+    for (int32_t u = 0; u < n_users; ++u) counts[u + 1] += counts[u];
+    for (int32_t u = 0; u <= n_users; ++u) indptr[u] = (int32_t)counts[u];
+
+    std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t dst = cursor[users[i]]++;
+        out_items[dst] = items[i];
+        out_ratings[dst] = ratings[i];
+    }
+
+    // Per-user (item, rating) sort, parallel over user ranges.
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? hw : 4;
+    std::atomic<int32_t> next_user(0);
+    const int32_t chunk = 1024;
+    auto worker = [&]() {
+        std::vector<std::pair<int32_t, float>> buf;
+        for (;;) {
+            int32_t u0 = next_user.fetch_add(chunk);
+            if (u0 >= n_users) break;
+            int32_t u1 = std::min(u0 + chunk, n_users);
+            for (int32_t u = u0; u < u1; ++u) {
+                int64_t lo = counts[u], hi = counts[u + 1];
+                int64_t len = hi - lo;
+                if (len < 2) continue;
+                buf.resize(len);
+                for (int64_t k = 0; k < len; ++k)
+                    buf[k] = {out_items[lo + k], out_ratings[lo + k]};
+                std::sort(buf.begin(), buf.end(),
+                          [](const auto& a, const auto& b) {
+                              return a.first < b.first;
+                          });
+                for (int64_t k = 0; k < len; ++k) {
+                    out_items[lo + k] = buf[k].first;
+                    out_ratings[lo + k] = buf[k].second;
+                }
+            }
+        }
+    };
+    std::vector<std::thread> workers;
+    for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker);
+    worker();
+    for (auto& w : workers) w.join();
+    return 0;
+}
+
+}  // extern "C"

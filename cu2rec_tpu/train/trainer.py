@@ -80,6 +80,23 @@ def run_steps(model: MFModel, dev: DeviceRatings, hp: Hyper,
     return model
 
 
+def _subsample_dev(csr: CSRRatings, n_sample: int, seed: int,
+                   pad_multiple: int = 128) -> DeviceRatings:
+    """Random rating subsample as a DeviceRatings (train-eval speedup)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sel = np.sort(rng.choice(csr.nnz, size=n_sample, replace=False))
+    padded = -(-n_sample // pad_multiple) * pad_multiple
+    pad = padded - n_sample
+    return DeviceRatings(
+        indptr=jnp.asarray(csr.indptr),
+        indices=jnp.asarray(np.pad(csr.indices[sel], (0, pad))),
+        data=jnp.asarray(np.pad(csr.data[sel], (0, pad))),
+        row_ids=jnp.asarray(np.pad(csr.row_ids[sel], (0, pad))),
+        nnz=n_sample, n_users=csr.n_users, n_items=csr.n_items)
+
+
 class SingleChipEngine:
     """Default execution engine: one device, plain jit.
 
@@ -95,10 +112,16 @@ class SingleChipEngine:
                  packed: bool = True):
         self.train_dev = to_device(train_csr)
         self.test_dev = to_device(test_csr)
+        self.train_eval_dev = self.train_dev
+        if cfg.train_eval_sample and train_csr.nnz > cfg.train_eval_sample:
+            self.train_eval_dev = _subsample_dev(train_csr,
+                                                 cfg.train_eval_sample,
+                                                 cfg.seed)
         self.cfg = cfg
         self.eval_chunk = eval_chunk
         self.key = jax.random.PRNGKey(cfg.seed)
-        self.packed = packed and not cfg.use_pallas
+        # The Pallas path operates on packed tables too.
+        self.packed = packed or cfg.use_pallas
         if cfg.use_pallas:
             from cu2rec_tpu.ops.sgd_pallas import pallas_run_steps
             self._runner = pallas_run_steps
@@ -128,7 +151,7 @@ class SingleChipEngine:
                             self.cfg.collision_policy)
 
     def evaluate(self, state, split: str):
-        dev = self.train_dev if split == "train" else self.test_dev
+        dev = self.train_eval_dev if split == "train" else self.test_dev
         if self.packed:
             from cu2rec_tpu.ops.loss import evaluate_packed
             return evaluate_packed(state, dev, self.eval_chunk)

@@ -73,6 +73,11 @@ class Config:
     dtype: str = "float32"
     # Use the fused Pallas SGD kernel when running on TPU.
     use_pallas: bool = False
+    # If > 0, evaluate the TRAIN-split RMSE/MAE on a random subsample of at
+    # most this many ratings (the reference evaluates the full train set
+    # every check_error iterations, training.cu:121-123 — exact but
+    # expensive at Netflix scale).  Test-split eval is always full.
+    train_eval_sample: int = 0
 
     LEGACY_FIELDS = (
         "cur_iterations", "total_iterations", "n_factors", "learning_rate",

@@ -119,3 +119,22 @@ def test_native_space_padded_fields(data_dir):
     assert rd.nnz == 3
     np.testing.assert_array_equal(rd.items, [0, 1, 3])
     np.testing.assert_allclose(rd.ratings, [1.0, 1.0, 5.0])
+
+
+def test_native_csr_build_matches_numpy():
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    rng = np.random.default_rng(3)
+    n, U, I = 200_000, 500, 300
+    users = rng.integers(0, U, n).astype(np.int32)
+    items = rng.integers(0, I, n).astype(np.int32)
+    vals = rng.uniform(0.5, 5.0, n).astype(np.float32)
+    a = csr_from_arrays(users, items, vals, U, I, use_native=True)
+    b = csr_from_arrays(users, items, vals, U, I, use_native=False)
+    np.testing.assert_array_equal(a.indptr, b.indptr)
+    np.testing.assert_array_equal(a.indices, b.indices)
+    # ratings may legitimately differ in order for duplicate (u,i) pairs;
+    # compare per-(user,item) sorted values
+    for u in range(0, U, 97):
+        lo, hi = a.indptr[u], a.indptr[u + 1]
+        np.testing.assert_allclose(np.sort(a.data[lo:hi]),
+                                   np.sort(b.data[lo:hi]))

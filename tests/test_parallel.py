@@ -142,3 +142,44 @@ def test_dp_only_mesh(toy_csr, toy_ratings):
     model, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
                           logger=MetricsLogger(verbose=False), engine=engine)
     assert losses[20] <= losses[1]
+
+
+@pytest.mark.parametrize("collision", ["mean", "sum"])
+def test_sharded_collision_policies(toy_csr, toy_ratings, collision):
+    cfg = Config(total_iterations=30, n_factors=4, learning_rate=0.05,
+                 check_error=15, collision_policy=collision)
+    engine = ShardedEngine(toy_csr, toy_csr, cfg, mesh=make_mesh(2, 2))
+    model, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                          logger=MetricsLogger(verbose=False), engine=engine)
+    assert losses[30] < losses[1]
+    assert np.isfinite(np.asarray(model.Q)).all()
+
+
+def test_sharded_mean_matches_single_chip(toy_csr, cfg):
+    """Mean-collision parity between sharded and single-chip packed."""
+    from cu2rec_tpu.ops.packed import pack, packed_run_steps, unpack
+    from cu2rec_tpu.data.csr import CSRRatings
+    cfg.collision_policy = "mean"
+    gb = 3.5556
+    model0 = init_model(toy_csr.n_users, toy_csr.n_items, cfg.n_factors,
+                        gb, seed=cfg.seed)
+    model0b = init_model(toy_csr.n_users, toy_csr.n_items, cfg.n_factors,
+                        gb, seed=cfg.seed)
+    engine = ShardedEngine(toy_csr, toy_csr, cfg, mesh=make_mesh(2, 2))
+    sharded = engine.finalize(engine.run(model0, HP, 0, 8))
+
+    U_pad, I_pad = engine.U_pad, engine.I_pad
+    indptr_pad = np.zeros(U_pad + 1, dtype=np.int32)
+    indptr_pad[:toy_csr.n_users + 1] = toy_csr.indptr
+    indptr_pad[toy_csr.n_users + 1:] = toy_csr.indptr[-1]
+    csr_pad = CSRRatings(indptr=indptr_pad, indices=toy_csr.indices,
+                         data=toy_csr.data, n_users=U_pad, n_items=I_pad)
+    dev_pad = to_device(csr_pad)
+    pm = pack(pad_model(model0b, U_pad, I_pad))
+    pm = packed_run_steps(pm, dev_pad, HP, jax.random.PRNGKey(cfg.seed),
+                          jnp.int32(0), 8, True, "mean")
+    single = trim_model(unpack(pm), toy_csr.n_users, toy_csr.n_items)
+    np.testing.assert_allclose(np.asarray(sharded.P), np.asarray(single.P),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.Q), np.asarray(single.Q),
+                               atol=1e-5)

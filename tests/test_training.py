@@ -86,3 +86,11 @@ def test_bfloat16_trains(toy_csr, toy_ratings):
                           logger=quiet())
     assert model.P.dtype == jnp.bfloat16
     assert np.isfinite(losses[20])
+
+
+def test_train_eval_subsample(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=10, n_factors=2, check_error=5,
+                 train_eval_sample=8)
+    _, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                      logger=quiet())
+    assert np.isfinite(losses[10])
