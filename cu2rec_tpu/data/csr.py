@@ -101,13 +101,20 @@ class DeviceRatings:
     The TPU-native analogue of ``CudaCSRMatrix`` (matrix.h:11-18): instead
     of raw cudaMalloc'd pointers, three jax arrays the jitted step closes
     over.  ``row_ids`` is the indptr expansion used by evaluation.
+
+    ``pair_pack`` is a TPU-layout optimization for sampling: item ids and
+    rating bits interleaved as int32 lanes ``[i0, r0, i1, r1, ...]`` in
+    128-wide rows, so fetching a sampled (item, rating) pair is ONE
+    lane-aligned row gather + two in-register lane selects instead of two
+    element gathers (XLA TPU element gathers run ~element-at-a-time).
     """
 
-    indptr: object   # jnp (n_users+1,) int32
-    indices: object  # jnp (nnz_padded,) int32
-    data: object     # jnp (nnz_padded,) float32
-    row_ids: object  # jnp (nnz_padded,) int32
-    nnz: int         # true (unpadded) count
+    indptr: object     # jnp (n_users+1,) int32
+    indices: object    # jnp (nnz_padded,) int32
+    data: object       # jnp (nnz_padded,) float32
+    row_ids: object    # jnp (nnz_padded,) int32
+    pair_pack: object  # jnp (nnz_padded/64, 128) int32, or None
+    nnz: int           # true (unpadded) count
     n_users: int
     n_items: int
 
@@ -124,11 +131,15 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None) -> Device
     import jax.numpy as jnp
 
     nnz = csr.nnz
+    pad_multiple = max(pad_multiple, 64)
     padded = -(-max(nnz, 1) // pad_multiple) * pad_multiple
     pad = padded - nnz
     indices = np.pad(csr.indices, (0, pad))
     data = np.pad(csr.data, (0, pad))
     row_ids = np.pad(csr.row_ids, (0, pad))
+    pair = np.empty(2 * padded, dtype=np.int32)
+    pair[0::2] = indices
+    pair[1::2] = data.view(np.int32)
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
         else jnp.asarray
     return DeviceRatings(
@@ -136,6 +147,7 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None) -> Device
         indices=put(indices),
         data=put(data),
         row_ids=put(row_ids),
+        pair_pack=put(pair.reshape(-1, 128)),
         nnz=nnz,
         n_users=csr.n_users,
         n_items=csr.n_items,
@@ -146,6 +158,6 @@ import jax.tree_util as _jtu
 
 _jtu.register_dataclass(
     DeviceRatings,
-    data_fields=["indptr", "indices", "data", "row_ids"],
+    data_fields=["indptr", "indices", "data", "row_ids", "pair_pack"],
     meta_fields=["nnz", "n_users", "n_items"],
 )

@@ -110,7 +110,8 @@ def packed_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
     lr = hp.learning_rate
 
     items, ratings, has = sample_items(key, iteration, dev.indptr,
-                                       dev.indices, dev.data)
+                                       dev.indices, dev.data,
+                                       pair_pack=dev.pair_pack)
     row_i = T_i[items]                                   # (U, W) one gather
     row_u32 = T_u.astype(jnp.float32)
     row_i32 = row_i.astype(jnp.float32)
@@ -119,7 +120,6 @@ def packed_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
     # t̂: column F → 1 (so the bias update shares the factor formula),
     # padding columns → 0.
     ihat = row_i32 * factor + biascol
-    uhat = row_u32 * factor + biascol
 
     # pred = μ + b_u + b_i + Σ_f p q  — Σ(row_u·î) contributes Σ p q + b_u.
     pred = (pm.global_bias + jnp.sum(row_u32 * ihat, axis=-1)
@@ -134,13 +134,42 @@ def packed_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
         return PackedModel(T_u=T_u_new, T_i=T_i,
                            global_bias=pm.global_bias, n_factors=F)
 
-    di = lr * (err[:, None] * uhat - reg_i * row_i32)
     if collision == "first_wins":
+        # Election inversion: rotated priority is invertible
+        # (uid = (prio + start_user) mod U), so after the scatter-min
+        # election the item side needs NO scatter and NO win-mask gather —
+        # it becomes a dense map over the item table that row-gathers each
+        # item's winning user.  (Scatter-free first-wins; the single
+        # remaining scatter in the step is the election's scalar min.)
         prio = rotated_priority(U, iteration, 0, U, rotation)
-        best, cand = elect_winners(items, has, prio, I)
-        win = win_mask(best, items, cand, has)
-        di = jnp.where(win[:, None], di, 0.0)
-    elif collision == "mean":
+        best, _cand = elect_winners(items, has, prio, I)  # (I_pad,)
+        start_user = (iteration * rotation) % jnp.int32(U)
+        I_pad = best.shape[0]
+        sentinel = jnp.iinfo(jnp.int32).max
+        has_winner = best != sentinel                      # (I_pad,)
+        winner_uid = jnp.where(has_winner,
+                               (best + start_user) % jnp.int32(U), 0)
+        w_rows = row_u32[winner_uid[:I]]                   # (I, W) pre-step
+        # winner's sampled rating, via a lane-aligned gather over users
+        U_lanes = -(-U // 128) * 128
+        ratings_pad = jnp.pad(ratings, (0, U_lanes - U))
+        from cu2rec_tpu.ops.sgd import gather_1d
+        w_rat = gather_1d(ratings_pad, winner_uid[:I])     # (I,)
+        T_i32 = T_i.astype(jnp.float32)
+        ihat_d = T_i32 * factor + biascol                  # dense (I, W)
+        uhat_w = w_rows * factor + biascol
+        pred_w = (pm.global_bias + jnp.sum(w_rows * ihat_d, axis=-1)
+                  + T_i32[:, F])
+        err_w = jnp.where(has_winner[:I], w_rat - pred_w, 0.0)
+        di = lr * (err_w[:, None] * uhat_w - reg_i * T_i32)
+        T_i_new = jnp.where(has_winner[:I, None], T_i32 + di,
+                            T_i32).astype(dt)
+        return PackedModel(T_u=T_u_new, T_i=T_i_new,
+                           global_bias=pm.global_bias, n_factors=F)
+
+    uhat = row_u32 * factor + biascol
+    di = lr * (err[:, None] * uhat - reg_i * row_i32)
+    if collision == "mean":
         from cu2rec_tpu.ops.sgd import GATHER_LANES, gather_1d
         I_pad = -(-I // GATHER_LANES) * GATHER_LANES
         counts = jnp.zeros((I_pad,), dtype=jnp.float32).at[items].add(

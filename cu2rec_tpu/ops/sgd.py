@@ -137,17 +137,12 @@ def gather_1d(flat: jax.Array, pos: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(onehot, rows, 0), axis=1)
 
 
-def sample_items(key: jax.Array, iteration: jax.Array, indptr: jax.Array,
-                 indices: jax.Array, data: jax.Array, user_offset: int = 0):
-    """Sample one rated item per user from the CSR slices.
+def sample_positions(key: jax.Array, iteration: jax.Array,
+                     indptr: jax.Array, user_offset: int = 0):
+    """Per-user sampled CSR position (the curand draw of sgd.cu:31-37).
 
-    Equivalent of sgd.cu:31-37 (curand_uniform over [indptr[u],
-    indptr[u+1])) with a counter-based stream: the draw is a pure function
-    of (key, iteration, global user id), so it is identical under any
-    sharding.  ``user_offset`` is the global id of local user 0 when the
-    user axis is sharded.
-
-    Returns (items, ratings, has_items) for the local users.
+    Counter-based: a pure function of (key, iteration, global user id), so
+    identical under any sharding of the user axis.  Returns (pos, has).
     """
     start = indptr[:-1]
     length = indptr[1:] - start
@@ -156,8 +151,39 @@ def sample_items(key: jax.Array, iteration: jax.Array, indptr: jax.Array,
     u01 = counter_uniform(key, iteration, uids)
     off = jnp.minimum((u01 * length).astype(jnp.int32),
                       jnp.maximum(length - 1, 0))
-    pos = start + off
-    return gather_1d(indices, pos), gather_1d(data, pos), length > 0
+    return start + off, length > 0
+
+
+def fetch_pairs(pair_pack: jax.Array, pos: jax.Array):
+    """(item, rating) at CSR positions ``pos`` from the interleaved pack.
+
+    One lane-aligned row gather per position + two in-register lane
+    selects — see DeviceRatings.pair_pack.  Returns (items, ratings).
+    """
+    rows = pair_pack[pos // 64]                       # (n, 128) int32
+    lane = (pos % 64) * 2
+    lanes = jnp.arange(128, dtype=pos.dtype)
+    item = jnp.sum(jnp.where(lanes == lane[:, None], rows, 0), axis=1)
+    rbits = jnp.sum(jnp.where(lanes == lane[:, None] + 1, rows, 0), axis=1)
+    return item, jax.lax.bitcast_convert_type(rbits, jnp.float32)
+
+
+def sample_items(key: jax.Array, iteration: jax.Array, indptr: jax.Array,
+                 indices: jax.Array, data: jax.Array, user_offset: int = 0,
+                 pair_pack: jax.Array | None = None):
+    """Sample one rated item per user from the CSR slices.
+
+    Equivalent of sgd.cu:31-37; see :func:`sample_positions`.  With
+    ``pair_pack`` the (item, rating) fetch is one row gather; otherwise it
+    falls back to two element gathers (via :func:`gather_1d` when padded).
+
+    Returns (items, ratings, has_items) for the local users.
+    """
+    pos, has = sample_positions(key, iteration, indptr, user_offset)
+    if pair_pack is not None:
+        items, ratings = fetch_pairs(pair_pack, pos)
+        return items, ratings, has
+    return gather_1d(indices, pos), gather_1d(data, pos), has
 
 
 def elect_winners(items: jax.Array, has: jax.Array, prio: jax.Array,

@@ -94,6 +94,7 @@ def _subsample_dev(csr: CSRRatings, n_sample: int, seed: int,
         indices=jnp.asarray(np.pad(csr.indices[sel], (0, pad))),
         data=jnp.asarray(np.pad(csr.data[sel], (0, pad))),
         row_ids=jnp.asarray(np.pad(csr.row_ids[sel], (0, pad))),
+        pair_pack=None,
         nnz=n_sample, n_users=csr.n_users, n_items=csr.n_items)
 
 

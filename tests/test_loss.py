@@ -66,6 +66,7 @@ def test_evaluate_on_device(toy_csr):
 def test_evaluate_respects_padding(toy_csr):
     m = ones_model(toy_csr.n_users, toy_csr.n_items)
     dev = to_device(toy_csr, pad_multiple=32)
-    assert dev.indices.shape[0] == 32
+    # pad_multiple is floored at 64 so pair_pack rows stay lane-aligned
+    assert dev.indices.shape[0] == 64
     rmse, _ = evaluate(m, dev)
     np.testing.assert_allclose(rmse, float(np.sqrt(74.0 / 18.0)), rtol=1e-6)
