@@ -186,14 +186,15 @@ def packed_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
                        global_bias=pm.global_bias, n_factors=F)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "train_items", "collision"),
+@partial(jax.jit, static_argnames=("train_items", "collision"),
          donate_argnames=("pm",))
 def packed_run_steps(pm: PackedModel, dev, hp: Hyper, key, start_iter,
-                     n_steps: int, train_items: bool = True,
+                     n_steps, train_items: bool = True,
                      collision: str = "first_wins") -> PackedModel:
-    def body(m, i):
+    """``n_steps`` is a dynamic trip count — one compiled program serves
+    every segment length (remote compiles are minutes on this platform)."""
+    def body(i, m):
         return packed_step(m, dev, hp, key, start_iter + i,
-                           train_items=train_items, collision=collision), None
+                           train_items=train_items, collision=collision)
 
-    pm, _ = jax.lax.scan(body, pm, jnp.arange(n_steps, dtype=jnp.int32))
-    return pm
+    return jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, pm)

@@ -163,17 +163,16 @@ def pallas_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_steps", "train_items", "collision",
+                   static_argnames=("train_items", "collision",
                                     "interpret"),
                    donate_argnames=("pm",))
 def pallas_run_steps(pm: PackedModel, dev, hp: Hyper, key, start_iter,
-                     n_steps: int, train_items: bool = True,
+                     n_steps, train_items: bool = True,
                      collision: str = "first_wins",
                      interpret: bool = False) -> PackedModel:
-    def body(m, i):
+    def body(i, m):
         return pallas_step(m, dev, hp, key, start_iter + i,
                            train_items=train_items, collision=collision,
-                           interpret=interpret), None
+                           interpret=interpret)
 
-    pm, _ = jax.lax.scan(body, pm, jnp.arange(n_steps, dtype=jnp.int32))
-    return pm
+    return jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, pm)

@@ -333,35 +333,33 @@ class ShardedEngine:
         ratings_specs = (P("dp", None), P("dp", None), P("dp", None),
                          P("dp", None), P("dp"))
 
-        def steps_body(model_t, ratings_t, hp, key, start_iter,
-                       n_steps, train_items, collision):
+        def steps_body(model_t, ratings_t, hp, key, start_iter, n_steps,
+                       train_items, collision):
             indptr, indices, data, _row_ids, _nnz = (x[0] for x in ratings_t)
 
-            def one(carry, i):
+            def one(i, carry):
                 T_u_l, T_i_l, mu = carry
                 it = start_iter + i
                 T_u_new, T_i_new = _local_step_packed(
                     T_u_l, T_i_l, mu, indptr, indices, data,
                     hp, key, it, n_users_global, n_factors,
                     train_items=train_items, collision=collision)
-                return (T_u_new, T_i_new, mu), None
+                return (T_u_new, T_i_new, mu)
 
-            carry, _ = jax.lax.scan(
-                one, model_t, jnp.arange(n_steps, dtype=jnp.int32))
-            return carry
+            return jax.lax.fori_loop(0, n_steps, one, model_t)
 
-        @partial(jax.jit, static_argnames=("n_steps", "train_items",
-                                           "collision"),
+        @partial(jax.jit, static_argnames=("train_items", "collision"),
                  donate_argnums=(0,))
         def run(model_t, ratings_t, hp, key, start_iter, n_steps,
                 train_items, collision):
             f = shard_map(
-                partial(steps_body, n_steps=n_steps, train_items=train_items,
+                partial(steps_body, train_items=train_items,
                         collision=collision),
                 mesh=mesh,
-                in_specs=(model_specs, ratings_specs, P(), P(), P()),
+                in_specs=(model_specs, ratings_specs, P(), P(), P(), P()),
                 out_specs=model_specs)
-            return f(model_t, ratings_t, hp, key, start_iter)
+            return f(model_t, ratings_t, hp, key, start_iter,
+                     jnp.asarray(n_steps, jnp.int32))
 
         self._run_jit = run
 
@@ -417,8 +415,8 @@ class ShardedEngine:
         if isinstance(state, MFModel):
             state = self.prepare(state)
         return self._run_jit(state, self._ratings_tuple(self.train_sh),
-                             hp, self.key, jnp.int32(start_iter), n_steps,
-                             bool(self.cfg.is_train),
+                             hp, self.key, jnp.int32(start_iter),
+                             jnp.int32(n_steps), bool(self.cfg.is_train),
                              self.cfg.collision_policy)
 
     def evaluate(self, state, split: str):

@@ -63,21 +63,23 @@ def single_step(model: MFModel, dev: DeviceRatings, hp: Hyper,
                    global_bias=model.global_bias)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "train_items", "collision"),
+@partial(jax.jit, static_argnames=("train_items", "collision"),
          donate_argnames=("model",))
 def run_steps(model: MFModel, dev: DeviceRatings, hp: Hyper,
-              key: jax.Array, start_iter, n_steps: int,
+              key: jax.Array, start_iter, n_steps,
               train_items: bool = True,
               collision: str = "first_wins") -> MFModel:
-    """Run ``n_steps`` iterations inside one compiled ``lax.scan``."""
-    def body(m, i):
-        it = start_iter + i
-        m = single_step(m, dev, hp, key, it, train_items=train_items,
-                        collision=collision)
-        return m, None
+    """Run ``n_steps`` iterations inside one compiled loop.
 
-    model, _ = jax.lax.scan(body, model, jnp.arange(n_steps, dtype=jnp.int32))
-    return model
+    ``n_steps`` is a *dynamic* trip count (``lax.fori_loop``), so every
+    segment length shares ONE compiled program — remote XLA compiles cost
+    minutes on this platform, so the distinction matters a lot."""
+    def body(i, m):
+        it = start_iter + i
+        return single_step(m, dev, hp, key, it, train_items=train_items,
+                           collision=collision)
+
+    return jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, model)
 
 
 def _subsample_dev(csr: CSRRatings, n_sample: int, seed: int,
@@ -184,13 +186,11 @@ def _warmup(engine, cfg: Config, model: MFModel):
     hp = Hyper(jnp.float32(cfg.learning_rate), jnp.float32(cfg.P_reg),
                jnp.float32(cfg.Q_reg), jnp.float32(cfg.user_bias_reg),
                jnp.float32(cfg.item_bias_reg))
-    seen: set[int] = set()
     throwaway = jax.tree.map(jnp.copy, model)
-    for n_steps, _ in eval_segments(cfg.total_iterations, cfg.check_error):
-        if n_steps in seen:
-            continue
-        seen.add(n_steps)
-        throwaway = engine.run(throwaway, hp, 0, n_steps)
+    # n_steps is a dynamic bound: one run compiles the program for every
+    # segment length; run it twice so first-dispatch warmup is also paid.
+    throwaway = engine.run(throwaway, hp, 0, 1)
+    throwaway = engine.run(throwaway, hp, 1, 1)
     engine.evaluate(throwaway, "train")
     engine.evaluate(throwaway, "test")
 
