@@ -15,6 +15,13 @@ Wire-up: ``pallas_run_steps`` is a drop-in for
 the same XLA ops, keeping semantics identical (tests compare against the
 packed path, interpret mode on CPU).
 
+Measured reality (TPU v5e, ML-20M scale): 5.05 ms/step vs 2.74 ms for the
+pure-XLA packed path — the step is bound by gather/election/scatter memory
+ops, which XLA already schedules well, and this variant keeps the
+scatter-based item commit (the XLA path uses the scatter-free election
+inversion).  Kept as a correct, tested alternative implementation and the
+scaffold for future fused-kernel work, not the default.
+
 Kernel facts (see /opt/skills/guides/pallas_guide.md): tiles are
 (TILE_U, W) with W ∈ {64, 128, 256, 384} — always a lane multiple; scalars
 arrive as (1, 1) SMEM refs; the grid streams user tiles, so VMEM holds

@@ -53,7 +53,8 @@ def split_if_needed(ratings_csv: str, seed: int = 42):
 
 
 def run_cell(train_csv: str, test_csv: str, iters: int, factors: int,
-             devices: int, profile_dir: str | None):
+             devices: int, profile_dir: str | None,
+             collision: str = "first_wins", recall_k: int = 0):
     import jax
 
     from cu2rec_tpu.data import build_csr, read_ratings_csv
@@ -67,7 +68,8 @@ def run_cell(train_csv: str, test_csv: str, iters: int, factors: int,
     test_csr = build_csr(test_rd)
 
     cfg = Config(total_iterations=iters, n_factors=factors,
-                 check_error=max(iters // 10, 1))
+                 check_error=max(iters // 10, 1),
+                 collision_policy=collision)
     logger = MetricsLogger(verbose=False)
 
     engine = None
@@ -89,7 +91,18 @@ def run_cell(train_csv: str, test_csv: str, iters: int, factors: int,
 
     evals = [r for r in logger.history if r["event"] == "eval"]
     last = evals[-1] if evals else {}
+    # the trainer's own timer excludes warmup/compile (training.cu:18-19
+    # analogue); prefer it over our outer wall clock
+    times = [r for r in logger.history if r["event"] == "time"]
+    if times:
+        wall = times[-1]["seconds"]
+    recall = None
+    if recall_k:
+        from cu2rec_tpu.serve.recommend import recall_at_k_eval
+        recall = recall_at_k_eval(_model, train_csr, test_csr, k=recall_k)
     return {
+        "collision": collision,
+        "recall_at_k": recall,
         "train_csv": train_csv,
         "iterations": iters,
         "factors": factors,
@@ -113,6 +126,9 @@ def main(argv=None) -> int:
                    default=[100, 500, 1000, 5000, 10000])
     p.add_argument("--factors", type=int, nargs="+", default=[50, 300])
     p.add_argument("--devices", type=int, default=0)
+    p.add_argument("--collision", default="first_wins",
+                   choices=["first_wins", "mean", "sum"])
+    p.add_argument("--recall-k", type=int, default=0)
     p.add_argument("--profile", action="store_true")
     p.add_argument("--results-dir", default="results")
     args = p.parse_args(argv)
@@ -132,12 +148,15 @@ def main(argv=None) -> int:
                                         f"{stamp}-i{iters}-f{factors}")
                            if args.profile else None)
             rec = run_cell(train_csv, test_csv, iters, factors,
-                           args.devices, profile_dir)
+                           args.devices, profile_dir,
+                           collision=args.collision,
+                           recall_k=args.recall_k)
             with open(out_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print(json.dumps({k: rec[k] for k in
                               ("iterations", "factors", "wall_s",
-                               "updates_per_s", "final")}))
+                               "updates_per_s", "final", "collision",
+                               "recall_at_k")}))
     print(f"results → {out_path}")
     return 0
 
