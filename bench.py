@@ -73,7 +73,6 @@ def main() -> None:
     # Serving-path throughput: full-catalog MXU scoring + top-10
     # (BASELINE.json config 5).
     from cu2rec_tpu.serve.recommend import _topk_users
-    from cu2rec_tpu.models.state import COMPONENTS  # noqa: F401
     import jax.numpy as _jnp
     B = 512
     um = unpack(pm)

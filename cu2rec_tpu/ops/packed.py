@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from cu2rec_tpu.models.state import MFModel
 from cu2rec_tpu.ops.sgd import (
-    Hyper, elect_winners, rotated_priority, sample_items, win_mask,
+    Hyper, elect_winners, rotated_priority, sample_items,
 )
 
 

@@ -19,7 +19,7 @@ from cu2rec_tpu.ops.sgd import Hyper
 from cu2rec_tpu.parallel.sharded import (
     ShardedEngine, make_mesh, pad_model, shard_ratings, trim_model,
 )
-from cu2rec_tpu.train.trainer import SingleChipEngine, run_steps, train
+from cu2rec_tpu.train.trainer import run_steps, train
 from cu2rec_tpu.utils.config import Config
 from cu2rec_tpu.utils.metrics import MetricsLogger
 

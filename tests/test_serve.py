@@ -4,7 +4,6 @@ filtering, recall@k — the predict.cu capabilities (predict.cu:17-133)."""
 import jax.numpy as jnp
 import numpy as np
 
-from cu2rec_tpu.models.state import MFModel
 from cu2rec_tpu.ops.model import predict_pairs, score_catalog
 from cu2rec_tpu.ops.topk import mask_rated, recall_at_k
 from cu2rec_tpu.serve.foldin import fold_in_user

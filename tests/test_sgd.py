@@ -18,7 +18,6 @@ from cu2rec_tpu.ops.sgd import (
 )
 from cu2rec_tpu.train.reference import reference_step
 from cu2rec_tpu.train.trainer import single_step
-from cu2rec_tpu.utils.config import Config
 
 HP = Hyper(jnp.float32(0.05), jnp.float32(0.1), jnp.float32(0.1),
            jnp.float32(0.1), jnp.float32(0.1))
