@@ -37,6 +37,8 @@ def build_parser():
     p.add_argument("--jsonl", default=None, help="append metrics JSONL here")
     p.add_argument("--checkpoint", default=None,
                    help="write a resumable .npz checkpoint here at the end")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also checkpoint every N eval points")
     p.add_argument("--resume", default=None,
                    help="resume from a .npz checkpoint")
     p.add_argument("--devices", type=int, default=0,
@@ -95,7 +97,9 @@ def main(argv=None) -> int:
                                n_devices=args.devices)
 
     model, _losses = train(train_csr, test_csr, cfg, train_rd.global_bias,
-                           model=model, logger=logger, engine=engine)
+                           model=model, logger=logger, engine=engine,
+                           checkpoint_path=args.checkpoint,
+                           checkpoint_every=args.checkpoint_every)
 
     # Component export next to the train file (mf.cu:63-87).
     outdir = args.outdir or (os.path.dirname(args.train_csv) or ".")

@@ -197,8 +197,14 @@ def _warmup(engine, cfg: Config, model: MFModel):
 
 def train_with_engine(engine, cfg: Config, model: MFModel,
                       logger: MetricsLogger | None = None,
-                      warmup: bool = True):
-    """The shared host loop: eval cadence + LR plateau + metrics."""
+                      warmup: bool = True,
+                      checkpoint_path: str | None = None,
+                      checkpoint_every: int = 0):
+    """The shared host loop: eval cadence + LR plateau + metrics.
+
+    ``checkpoint_path`` + ``checkpoint_every`` (in eval points) enable
+    periodic resumable checkpoints mid-run — the recovery mechanism the
+    reference only had vestigially (SURVEY §5)."""
     logger = logger or MetricsLogger()
     lr = float(cfg.learning_rate)
     patience = cfg.patience
@@ -214,16 +220,27 @@ def train_with_engine(engine, cfg: Config, model: MFModel,
         hp = Hyper(jnp.float32(lr), jnp.float32(cfg.P_reg),
                    jnp.float32(cfg.Q_reg), jnp.float32(cfg.user_bias_reg),
                    jnp.float32(cfg.item_bias_reg))
+        seg_t0 = time.perf_counter()
         model = engine.run(model, hp, cfg.cur_iterations, n_steps)
         cfg.cur_iterations += n_steps
 
         train_rmse, train_mae = engine.evaluate(model, "train")
+        seg_dt = time.perf_counter() - seg_t0  # eval fetch syncs the run
         last_validation_rmse = validation_rmse
         validation_rmse, validation_mae = engine.evaluate(model, "test")
+        n_users = getattr(engine, "n_users", None) or \
+            getattr(getattr(engine, "train_dev", None), "n_users", 0)
         logger.log_eval(eval_iter, train_mae=train_mae, train_rmse=train_rmse,
                         test_mae=validation_mae, test_rmse=validation_rmse,
-                        learning_rate=lr)
+                        learning_rate=lr,
+                        updates_per_s=round(n_users * n_steps / seg_dt, 1)
+                        if n_users else None)
         losses[eval_iter] = validation_rmse
+
+        if checkpoint_path and checkpoint_every and \
+                (len(losses) % checkpoint_every == 0):
+            from cu2rec_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, engine.finalize(model), cfg)
 
         # LR plateau decay (training.cu:145-155).
         if last_validation_rmse < validation_rmse:
@@ -249,7 +266,9 @@ def train(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
           model: MFModel | None = None,
           logger: MetricsLogger | None = None,
           eval_chunk: int = 1 << 20,
-          engine=None):
+          engine=None,
+          checkpoint_path: str | None = None,
+          checkpoint_every: int = 0):
     """Full training — the main ``train`` overload of the reference
     (training.cu:21-204).
 
@@ -265,4 +284,6 @@ def train(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
                                   global_bias)
     else:
         state = engine.prepare(model) if hasattr(engine, "prepare") else model
-    return train_with_engine(engine, cfg, state, logger)
+    return train_with_engine(engine, cfg, state, logger,
+                             checkpoint_path=checkpoint_path,
+                             checkpoint_every=checkpoint_every)

@@ -32,7 +32,8 @@ class MetricsLogger:
 
     def log_eval(self, iteration: int, *, train_mae: float, train_rmse: float,
                  test_mae: float, test_rmse: float,
-                 learning_rate: float) -> None:
+                 learning_rate: float, updates_per_s: float | None = None,
+                 ) -> None:
         if self.verbose:
             # Same line shape as reference training.cu:135-137.
             print(f"TRAIN: Iteration {iteration} {self.label} "
@@ -43,7 +44,8 @@ class MetricsLogger:
         self._emit({"event": "eval", "iteration": iteration,
                     "train_mae": train_mae, "train_rmse": train_rmse,
                     "test_mae": test_mae, "test_rmse": test_rmse,
-                    "learning_rate": learning_rate})
+                    "learning_rate": learning_rate,
+                    "updates_per_s": updates_per_s})
 
     def log_lr_decay(self, new_lr: float) -> None:
         if self.verbose:

@@ -183,3 +183,34 @@ def test_sharded_mean_matches_single_chip(toy_csr, cfg):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded.Q), np.asarray(single.Q),
                                atol=1e-5)
+
+
+def test_distributed_topk_matches_single(toy_csr):
+    """Item-sharded serving top-k == single-device top-k."""
+    from cu2rec_tpu.parallel.serving import distributed_topk
+    from cu2rec_tpu.serve.recommend import padded_user_lists, recommend_users
+
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5, seed=5)
+    users = [0, 2, 4]
+    rated, rmask = padded_user_lists(toy_csr, users)
+    svals, srecs = recommend_users(model, users, rated, rmask, k=3)
+
+    mesh = make_mesh(1, 4)
+    padded = pad_model(model, toy_csr.n_users, 8)  # I=5 → pad to 8 for ip=4
+    dvals, drecs = distributed_topk(
+        mesh, padded.P[jnp.asarray(users)],
+        padded.user_bias[jnp.asarray(users)], padded.Q, padded.item_bias,
+        float(model.global_bias), rated, rmask, k=3,
+        n_items=toy_csr.n_items)
+    # padded item rows score mu+0+ib(0)+0 — exclude any entries pointing at
+    # padding by comparing only real-item recommendations
+    dvals, drecs = np.asarray(dvals), np.asarray(drecs)
+    svals, srecs = np.asarray(svals), np.asarray(srecs)
+    for b in range(len(users)):
+        # compare valid (non-sentinel, real-item) recommendations
+        dv = [(v, i) for v, i in zip(dvals[b], drecs[b])
+              if v > -1e30 and i < toy_csr.n_items]
+        sv = [(v, i) for v, i in zip(svals[b], srecs[b]) if v > -1e30]
+        for (v1, i1), (v2, i2) in zip(dv, sv):
+            np.testing.assert_allclose(v1, v2, rtol=1e-5)
+            assert i1 == i2
