@@ -48,6 +48,9 @@ def build_parser():
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas SGD kernel")
+    p.add_argument("--algo", choices=["sgd", "als"], default=None,
+                   help="training algorithm (als: total_iterations = "
+                        "number of ALS sweeps)")
     p.add_argument("--outdir", default=None,
                    help="component output dir (default: next to train csv)")
     return p
@@ -86,6 +89,8 @@ def main(argv=None) -> int:
         cfg.dtype = args.dtype
     if args.pallas:
         cfg.use_pallas = True
+    if args.algo:
+        cfg.algo = args.algo
     cfg.print_config()
 
     logger = MetricsLogger(jsonl_path=args.jsonl)
@@ -96,10 +101,17 @@ def main(argv=None) -> int:
         engine = ShardedEngine(train_csr, test_csr, cfg,
                                n_devices=args.devices)
 
-    model, _losses = train(train_csr, test_csr, cfg, train_rd.global_bias,
-                           model=model, logger=logger, engine=engine,
-                           checkpoint_path=args.checkpoint,
-                           checkpoint_every=args.checkpoint_every)
+    if cfg.algo == "als":
+        from cu2rec_tpu.train.als import train_als
+        model, _losses = train_als(train_csr, test_csr, cfg,
+                                   train_rd.global_bias, model=model,
+                                   logger=logger)
+    else:
+        model, _losses = train(train_csr, test_csr, cfg,
+                               train_rd.global_bias,
+                               model=model, logger=logger, engine=engine,
+                               checkpoint_path=args.checkpoint,
+                               checkpoint_every=args.checkpoint_every)
 
     # Component export next to the train file (mf.cu:63-87).
     outdir = args.outdir or (os.path.dirname(args.train_csv) or ".")

@@ -1,0 +1,77 @@
+"""ALS training loop — the second optimizer family (see ops/als.py).
+
+Keeps the familiar loop contract: per-sweep train/test RMSE+MAE through
+the same MetricsLogger (one ALS "iteration" = one full sweep — a user
+half-sweep then an item half-sweep), losses dict keyed by sweep, model
+returned as MFModel.  No learning rate exists; the plateau scheduler is
+not applicable (each sweep solves its subproblem exactly).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+
+from cu2rec_tpu.data.csr import CSRRatings, to_device
+from cu2rec_tpu.models.state import MFModel, init_model
+from cu2rec_tpu.ops.als import als_half_sweep, bucket_csr, transpose_csr
+from cu2rec_tpu.ops.loss import evaluate_packed
+from cu2rec_tpu.ops.packed import PackedModel, pack, unpack
+from cu2rec_tpu.utils.config import Config
+from cu2rec_tpu.utils.metrics import MetricsLogger
+from cu2rec_tpu.utils.timing import fetch_barrier
+
+
+def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
+              global_bias: float,
+              model: MFModel | None = None,
+              logger: MetricsLogger | None = None,
+              weight_by_degree: bool = True):
+    """Train by ALS for ``cfg.total_iterations`` sweeps.
+
+    Returns (model, losses) like the SGD trainer.
+    """
+    logger = logger or MetricsLogger()
+    if model is None:
+        model = init_model(train_csr.n_users, train_csr.n_items,
+                           cfg.n_factors, global_bias, seed=cfg.seed,
+                           dtype=jnp.dtype(cfg.dtype))
+    pm = pack(model)
+    mu = jnp.float32(global_bias)
+    F = cfg.n_factors
+
+    user_buckets = bucket_csr(train_csr.indptr, train_csr.indices,
+                              train_csr.data)
+    it_indptr, it_rows, it_vals = transpose_csr(train_csr)
+    item_buckets = bucket_csr(it_indptr, it_rows, it_vals)
+
+    train_dev = to_device(train_csr)
+    test_dev = to_device(test_csr)
+
+    losses: dict[int, float] = {}
+    n_sweeps = cfg.total_iterations
+    start = time.perf_counter()
+    for sweep in range(1, n_sweeps + 1):
+        T_u = als_half_sweep(pm.T_u, pm.T_i, user_buckets, mu,
+                             cfg.P_reg, cfg.user_bias_reg, F,
+                             weight_by_degree=weight_by_degree)
+        pm = PackedModel(T_u=T_u, T_i=pm.T_i, global_bias=pm.global_bias,
+                         n_factors=F)
+        T_i = als_half_sweep(pm.T_i, pm.T_u, item_buckets, mu,
+                             cfg.Q_reg, cfg.item_bias_reg, F,
+                             weight_by_degree=weight_by_degree)
+        pm = PackedModel(T_u=pm.T_u, T_i=T_i, global_bias=pm.global_bias,
+                         n_factors=F)
+
+        train_rmse, train_mae = evaluate_packed(pm, train_dev)
+        test_rmse, test_mae = evaluate_packed(pm, test_dev)
+        logger.log_eval(sweep, train_mae=train_mae, train_rmse=train_rmse,
+                        test_mae=test_mae, test_rmse=test_rmse,
+                        learning_rate=0.0)
+        losses[sweep] = test_rmse
+        cfg.cur_iterations += 1
+
+    fetch_barrier(pm.T_u)
+    logger.log_time(n_sweeps, time.perf_counter() - start)
+    return unpack(pm), losses

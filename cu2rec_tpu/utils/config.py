@@ -73,6 +73,9 @@ class Config:
     dtype: str = "float32"
     # Use the fused Pallas SGD kernel when running on TPU.
     use_pallas: bool = False
+    # Training algorithm: "sgd" (the reference's sampled parallel SGD) or
+    # "als" (alternating least squares; total_iterations = sweeps).
+    algo: str = "sgd"
     # If > 0, evaluate the TRAIN-split RMSE/MAE on a random subsample of at
     # most this many ratings (the reference evaluates the full train set
     # every check_error iterations, training.cu:121-123 — exact but

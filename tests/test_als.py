@@ -1,0 +1,91 @@
+"""ALS trainer tests: exact ridge solves vs NumPy, convergence, CLI."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cu2rec_tpu.models.state import init_model
+from cu2rec_tpu.ops.als import bucket_csr, transpose_csr
+from cu2rec_tpu.ops.packed import pack
+from cu2rec_tpu.train.als import train_als
+from cu2rec_tpu.utils.config import Config
+from cu2rec_tpu.utils.metrics import MetricsLogger
+
+
+def quiet():
+    return MetricsLogger(verbose=False)
+
+
+def test_bucket_csr_covers_all_rows(toy_csr):
+    b = bucket_csr(toy_csr.indptr, toy_csr.indices, toy_csr.data)
+    rows = np.concatenate([x["row_ids"] for x in b.buckets])
+    assert sorted(rows.tolist()) == list(range(toy_csr.n_users))
+    total = sum(x["mask"].sum() for x in b.buckets)
+    assert total == toy_csr.nnz
+
+
+def test_bucket_csr_excludes_empty_rows(data_dir):
+    from cu2rec_tpu.data import build_csr, read_ratings_csv
+    rd = read_ratings_csv(str(data_dir / "test_missing_user_ratings.csv"))
+    csr = build_csr(rd)
+    b = bucket_csr(csr.indptr, csr.indices, csr.data)
+    rows = np.concatenate([x["row_ids"] for x in b.buckets])
+    assert 1 not in rows  # the missing user
+
+
+def test_transpose_csr(toy_csr):
+    indptr, rows, vals = transpose_csr(toy_csr)
+    assert indptr[-1] == toy_csr.nnz
+    # item 3 (0-based) is rated by users 4 and 5
+    lo, hi = indptr[3], indptr[4]
+    assert sorted(rows[lo:hi].tolist()) == [4, 5]
+
+
+def test_half_sweep_solves_exactly(toy_csr):
+    """The user half-sweep must equal per-user NumPy ridge solutions."""
+    from cu2rec_tpu.ops.als import als_half_sweep
+    F = 3
+    model = init_model(toy_csr.n_users, toy_csr.n_items, F, 3.5, seed=2)
+    pm = pack(model)
+    buckets = bucket_csr(toy_csr.indptr, toy_csr.indices, toy_csr.data)
+    lam_f, lam_b = 0.3, 0.2
+    T_u = np.asarray(als_half_sweep(pm.T_u, pm.T_i, buckets,
+                                    jnp.float32(3.5), lam_f, lam_b, F,
+                                    weight_by_degree=False))
+    Q = np.asarray(model.Q)
+    ib = np.asarray(model.item_bias)
+    for u in range(toy_csr.n_users):
+        lo, hi = toy_csr.indptr[u], toy_csr.indptr[u + 1]
+        items = toy_csr.indices[lo:hi]
+        r = toy_csr.data[lo:hi]
+        X = np.concatenate([Q[items], np.ones((len(items), 1))], axis=1)
+        y = r - 3.5 - ib[items]
+        lam = np.diag([lam_f] * F + [lam_b])
+        theta = np.linalg.solve(X.T @ X + lam, X.T @ y)
+        np.testing.assert_allclose(T_u[u, :F], theta[:F], atol=1e-4)
+        np.testing.assert_allclose(T_u[u, F], theta[F], atol=1e-4)
+
+
+def test_als_converges_fast(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=5, n_factors=3, P_reg=0.05, Q_reg=0.05,
+                 user_bias_reg=0.05, item_bias_reg=0.05)
+    model, losses = train_als(toy_csr, toy_csr, cfg,
+                              toy_ratings.global_bias, logger=quiet())
+    # ALS essentially converges in one sweep on the toy problem; later
+    # sweeps may oscillate in the last decimals
+    assert losses[5] <= losses[1] * 1.5
+    assert losses[5] < 0.35  # ALS nails the toy problem in a few sweeps
+    assert model.P.shape == (toy_csr.n_users, 3)
+
+
+def test_als_cli(tmp_path, data_dir, capsys):
+    from cu2rec_tpu.cli import mf
+
+    train = str(data_dir / "test_ratings.csv")
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("0 4 3 0.05 42 0.05 0.05 0.05 0.05\n")
+    rc = mf.main(["-c", str(cfg_path), train, train,
+                  "--outdir", str(tmp_path), "--algo", "als"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TRAIN: Iteration 4 " in out
+    assert (tmp_path / "test_ratings_f3_q.csv").exists()
