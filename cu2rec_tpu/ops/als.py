@@ -93,23 +93,30 @@ def als_half_sweep(T_self, T_other, bucketed: BucketedRows, mu,
     F = n_factors
     W = T_self.shape[1]
     T_new = T_self
+    reg = jnp.concatenate([jnp.full((F,), factor_reg, jnp.float32),
+                           jnp.full((1,), bias_reg, jnp.float32)])
+    # Bound the materialized (chunk, D, F+1) design matrix to ~budget
+    # elements so huge buckets don't blow HBM.
+    budget = 64 << 20
     for b in bucketed.buckets:
-        cols = jnp.asarray(b["cols"])
-        vals = jnp.asarray(b["vals"])
-        mask = jnp.asarray(b["mask"])
-        rows = jnp.asarray(b["row_ids"])
-        reg = jnp.concatenate([jnp.full((F,), factor_reg, jnp.float32),
-                               jnp.full((1,), bias_reg, jnp.float32)])
-        if weight_by_degree:
-            deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
-        else:
-            deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
-        theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg,
-                                       deg)
-        rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
-        rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
-        rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
-        T_new = T_new.at[rows].set(rowvec)
+        B, D = b["cols"].shape
+        chunk = max(1, min(B, budget // max(D * (F + 1), 1)))
+        for s in range(0, B, chunk):
+            e = min(s + chunk, B)
+            cols = jnp.asarray(b["cols"][s:e])
+            vals = jnp.asarray(b["vals"][s:e])
+            mask = jnp.asarray(b["mask"][s:e])
+            rows = jnp.asarray(b["row_ids"][s:e])
+            if weight_by_degree:
+                deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
+            else:
+                deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
+            theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
+                                           reg, deg)
+            rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
+            rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
+            rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
+            T_new = T_new.at[rows].set(rowvec)
     return T_new
 
 
