@@ -48,6 +48,8 @@ class BucketedRows:
 def bucket_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
                caps=BUCKET_CAPS) -> BucketedRows:
     n_rows = len(indptr) - 1
+    nnz = len(indices)
+    indptr = np.asarray(indptr, dtype=np.int64)
     deg = np.diff(indptr)
     buckets = []
     for bi, cap in enumerate(caps):
@@ -56,16 +58,15 @@ def bucket_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
             else np.nonzero(deg > lo)[0]
         if len(sel) == 0:
             continue
-        B = len(sel)
-        cols = np.zeros((B, cap), dtype=np.int32)
-        vals = np.zeros((B, cap), dtype=np.float32)
-        mask = np.zeros((B, cap), dtype=bool)
-        for k, r in enumerate(sel):
-            a, b = indptr[r], indptr[r + 1]
-            d = min(b - a, cap)   # truncate ultra-heavy rows
-            cols[k, :d] = indices[b - d:b]
-            vals[k, :d] = data[b - d:b]
-            mask[k, :d] = True
+        # vectorized padded-slice extraction (no per-row Python loop):
+        # keep each row's LAST min(deg, cap) entries
+        ends = indptr[sel + 1]
+        d = np.minimum(deg[sel], cap)
+        j = np.arange(cap, dtype=np.int64)[None, :]
+        mask = j < d[:, None]
+        pos = np.clip((ends - d)[:, None] + j, 0, max(nnz - 1, 0))
+        cols = np.where(mask, indices[pos], 0).astype(np.int32)
+        vals = np.where(mask, data[pos], 0).astype(np.float32)
         buckets.append({"row_ids": sel.astype(np.int32), "cols": cols,
                         "vals": vals, "mask": mask})
     return BucketedRows(buckets=buckets, n_rows=n_rows)
@@ -83,7 +84,7 @@ def transpose_csr(csr: CSRRatings):
 
 def als_half_sweep(T_self, T_other, bucketed: BucketedRows, mu,
                    factor_reg: float, bias_reg: float, n_factors: int,
-                   weight_by_degree: bool = True):
+                   weight_by_degree: bool = True, row_sharding=None):
     """Update every row of ``T_self`` given frozen ``T_other``.
 
     With ``weight_by_degree`` the ridge term is scaled by each row's
@@ -98,15 +99,33 @@ def als_half_sweep(T_self, T_other, bucketed: BucketedRows, mu,
     # Bound the materialized (chunk, D, F+1) design matrix to ~budget
     # elements so huge buckets don't blow HBM.
     budget = 64 << 20
+    n_rows_total = T_self.shape[0]
     for b in bucketed.buckets:
         B, D = b["cols"].shape
         chunk = max(1, min(B, budget // max(D * (F + 1), 1)))
+
+        # with a mesh, chunk rows must divide over the first axis
+        if row_sharding is not None:
+            n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
+            chunk = max(n_dev, (chunk // n_dev) * n_dev)
+
+        def pad_chunk(x, s, e, fill=0):
+            out = x[s:e]
+            if e - s < chunk:  # tail: pad to the common chunk shape so the
+                # solve compiles once per bucket
+                pad = [(0, chunk - (e - s))] + [(0, 0)] * (x.ndim - 1)
+                out = np.pad(out, pad, constant_values=fill)
+            if row_sharding is not None:
+                return jax.device_put(out, row_sharding)
+            return jnp.asarray(out)
+
         for s in range(0, B, chunk):
             e = min(s + chunk, B)
-            cols = jnp.asarray(b["cols"][s:e])
-            vals = jnp.asarray(b["vals"][s:e])
-            mask = jnp.asarray(b["mask"][s:e])
-            rows = jnp.asarray(b["row_ids"][s:e])
+            cols = pad_chunk(b["cols"], s, e)
+            vals = pad_chunk(b["vals"], s, e)
+            mask = pad_chunk(b["mask"], s, e, fill=False)
+            # padding rows scatter out-of-bounds and are dropped
+            rows = pad_chunk(b["row_ids"], s, e, fill=n_rows_total)
             if weight_by_degree:
                 deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
             else:
@@ -116,7 +135,7 @@ def als_half_sweep(T_self, T_other, bucketed: BucketedRows, mu,
             rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
             rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
             rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
-            T_new = T_new.at[rows].set(rowvec)
+            T_new = T_new.at[rows].set(rowvec, mode="drop")
     return T_new
 
 

@@ -27,10 +27,16 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
               global_bias: float,
               model: MFModel | None = None,
               logger: MetricsLogger | None = None,
-              weight_by_degree: bool = True):
+              weight_by_degree: bool = True,
+              mesh=None):
     """Train by ALS for ``cfg.total_iterations`` sweeps.
 
-    Returns (model, losses) like the SGD trainer.
+    Returns (model, losses) like the SGD trainer.  With ``mesh`` (any
+    axis set; the first axis is used) the batched ridge solves are
+    data-parallel over rows: bucket chunks are placed sharded over the
+    mesh's first axis with the counterpart table replicated, and XLA's
+    SPMD partitioner splits the gram einsums and Cholesky batches — ALS
+    needs no custom collectives at all (each row's solve is independent).
     """
     logger = logger or MetricsLogger()
     if model is None:
@@ -49,18 +55,26 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     train_dev = to_device(train_csr)
     test_dev = to_device(test_csr)
 
+    row_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        axis = mesh.axis_names[0]
+        row_sharding = NamedSharding(mesh, PartitionSpec(axis))
+
     losses: dict[int, float] = {}
     n_sweeps = cfg.total_iterations
     start = time.perf_counter()
     for sweep in range(1, n_sweeps + 1):
         T_u = als_half_sweep(pm.T_u, pm.T_i, user_buckets, mu,
                              cfg.P_reg, cfg.user_bias_reg, F,
-                             weight_by_degree=weight_by_degree)
+                             weight_by_degree=weight_by_degree,
+                             row_sharding=row_sharding)
         pm = PackedModel(T_u=T_u, T_i=pm.T_i, global_bias=pm.global_bias,
                          n_factors=F)
         T_i = als_half_sweep(pm.T_i, pm.T_u, item_buckets, mu,
                              cfg.Q_reg, cfg.item_bias_reg, F,
-                             weight_by_degree=weight_by_degree)
+                             weight_by_degree=weight_by_degree,
+                             row_sharding=row_sharding)
         pm = PackedModel(T_u=pm.T_u, T_i=T_i, global_bias=pm.global_bias,
                          n_factors=F)
 

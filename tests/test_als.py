@@ -89,3 +89,19 @@ def test_als_cli(tmp_path, data_dir, capsys):
     out = capsys.readouterr().out
     assert "TRAIN: Iteration 4 " in out
     assert (tmp_path / "test_ratings_f3_q.csv").exists()
+
+
+def test_als_sharded_matches_single(toy_csr, toy_ratings):
+    """Data-parallel ALS over a mesh == single-device ALS."""
+    from cu2rec_tpu.parallel.sharded import make_mesh
+    cfg1 = Config(total_iterations=3, n_factors=3, P_reg=0.05, Q_reg=0.05,
+                  user_bias_reg=0.05, item_bias_reg=0.05)
+    cfg2 = Config(total_iterations=3, n_factors=3, P_reg=0.05, Q_reg=0.05,
+                  user_bias_reg=0.05, item_bias_reg=0.05)
+    m1, l1 = train_als(toy_csr, toy_csr, cfg1, toy_ratings.global_bias,
+                       logger=quiet())
+    m2, l2 = train_als(toy_csr, toy_csr, cfg2, toy_ratings.global_bias,
+                       logger=quiet(), mesh=make_mesh(2, 1))
+    np.testing.assert_allclose(np.asarray(m2.P), np.asarray(m1.P), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2.Q), np.asarray(m1.Q), atol=1e-5)
+    assert abs(l1[3] - l2[3]) < 1e-5
