@@ -82,10 +82,55 @@ def transpose_csr(csr: CSRRatings):
     return indptr, csr.row_ids[order].astype(np.int32), csr.data[order]
 
 
-def als_half_sweep(T_self, T_other, bucketed: BucketedRows, mu,
+def prepare_chunks(bucketed: BucketedRows, n_factors: int,
+                   n_rows_total: int, row_sharding=None,
+                   budget: int = 64 << 20):
+    """Pre-upload bucket data as fixed-shape device chunks (done ONCE per
+    training run — re-uploading per sweep dominated sweep time through
+    slow H2D links).
+
+    Chunking bounds the materialized (chunk, D, F+1) design matrix to
+    ~``budget`` elements; tail chunks are padded to the common shape so
+    each bucket compiles a single solve program, with padding rows given
+    out-of-bounds row ids (scattered with mode='drop').
+    """
+    F1 = n_factors + 1
+    chunks = []
+    for b in bucketed.buckets:
+        B, D = b["cols"].shape
+        chunk = max(1, min(B, budget // max(D * F1, 1)))
+        if row_sharding is not None:
+            n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
+            chunk = max(n_dev, (chunk // n_dev) * n_dev)
+
+        def pad_chunk(x, s, e, fill=0):
+            out = x[s:e]
+            if e - s < chunk:
+                pad = [(0, chunk - (e - s))] + [(0, 0)] * (x.ndim - 1)
+                out = np.pad(out, pad, constant_values=fill)
+            if row_sharding is not None:
+                return jax.device_put(out, row_sharding)
+            return jnp.asarray(out)
+
+        for s in range(0, B, chunk):
+            e = min(s + chunk, B)
+            chunks.append((
+                pad_chunk(b["cols"], s, e),
+                pad_chunk(b["vals"], s, e),
+                pad_chunk(b["mask"], s, e, fill=False),
+                pad_chunk(b["row_ids"], s, e, fill=n_rows_total),
+            ))
+    return chunks
+
+
+def als_half_sweep(T_self, T_other, bucketed, mu,
                    factor_reg: float, bias_reg: float, n_factors: int,
                    weight_by_degree: bool = True, row_sharding=None):
     """Update every row of ``T_self`` given frozen ``T_other``.
+
+    ``bucketed`` may be a host-side :class:`BucketedRows` (chunks prepared
+    and uploaded on the fly) or a pre-prepared chunk list from
+    :func:`prepare_chunks` (preferred — upload once, sweep many).
 
     With ``weight_by_degree`` the ridge term is scaled by each row's
     degree (λ·|S|, the Zhou et al. weighted-λ regularization — the ALS
@@ -96,46 +141,21 @@ def als_half_sweep(T_self, T_other, bucketed: BucketedRows, mu,
     T_new = T_self
     reg = jnp.concatenate([jnp.full((F,), factor_reg, jnp.float32),
                            jnp.full((1,), bias_reg, jnp.float32)])
-    # Bound the materialized (chunk, D, F+1) design matrix to ~budget
-    # elements so huge buckets don't blow HBM.
-    budget = 64 << 20
-    n_rows_total = T_self.shape[0]
-    for b in bucketed.buckets:
-        B, D = b["cols"].shape
-        chunk = max(1, min(B, budget // max(D * (F + 1), 1)))
-
-        # with a mesh, chunk rows must divide over the first axis
-        if row_sharding is not None:
-            n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
-            chunk = max(n_dev, (chunk // n_dev) * n_dev)
-
-        def pad_chunk(x, s, e, fill=0):
-            out = x[s:e]
-            if e - s < chunk:  # tail: pad to the common chunk shape so the
-                # solve compiles once per bucket
-                pad = [(0, chunk - (e - s))] + [(0, 0)] * (x.ndim - 1)
-                out = np.pad(out, pad, constant_values=fill)
-            if row_sharding is not None:
-                return jax.device_put(out, row_sharding)
-            return jnp.asarray(out)
-
-        for s in range(0, B, chunk):
-            e = min(s + chunk, B)
-            cols = pad_chunk(b["cols"], s, e)
-            vals = pad_chunk(b["vals"], s, e)
-            mask = pad_chunk(b["mask"], s, e, fill=False)
-            # padding rows scatter out-of-bounds and are dropped
-            rows = pad_chunk(b["row_ids"], s, e, fill=n_rows_total)
-            if weight_by_degree:
-                deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
-            else:
-                deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
-            theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
-                                           reg, deg)
-            rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
-            rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
-            rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
-            T_new = T_new.at[rows].set(rowvec, mode="drop")
+    if isinstance(bucketed, BucketedRows):
+        chunks = prepare_chunks(bucketed, F, T_self.shape[0], row_sharding)
+    else:
+        chunks = bucketed
+    for cols, vals, mask, rows in chunks:
+        if weight_by_degree:
+            deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
+        else:
+            deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
+        theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
+                                       reg, deg)
+        rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
+        rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
+        rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
+        T_new = T_new.at[rows].set(rowvec, mode="drop")
     return T_new
 
 

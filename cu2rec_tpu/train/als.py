@@ -47,19 +47,22 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     mu = jnp.float32(global_bias)
     F = cfg.n_factors
 
-    user_buckets = bucket_csr(train_csr.indptr, train_csr.indices,
-                              train_csr.data)
-    it_indptr, it_rows, it_vals = transpose_csr(train_csr)
-    item_buckets = bucket_csr(it_indptr, it_rows, it_vals)
-
-    train_dev = to_device(train_csr)
-    test_dev = to_device(test_csr)
-
     row_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         axis = mesh.axis_names[0]
         row_sharding = NamedSharding(mesh, PartitionSpec(axis))
+
+    from cu2rec_tpu.ops.als import prepare_chunks
+    user_buckets = prepare_chunks(
+        bucket_csr(train_csr.indptr, train_csr.indices, train_csr.data),
+        F, train_csr.n_users, row_sharding)
+    it_indptr, it_rows, it_vals = transpose_csr(train_csr)
+    item_buckets = prepare_chunks(bucket_csr(it_indptr, it_rows, it_vals),
+                                  F, train_csr.n_items, row_sharding)
+
+    train_dev = to_device(train_csr)
+    test_dev = to_device(test_csr)
 
     losses: dict[int, float] = {}
     n_sweeps = cfg.total_iterations
