@@ -125,7 +125,8 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
 
 def als_half_sweep(T_self, T_other, bucketed, mu,
                    factor_reg: float, bias_reg: float, n_factors: int,
-                   weight_by_degree: bool = True, row_sharding=None):
+                   weight_by_degree: bool = True, row_sharding=None,
+                   solver: str = "blocked"):
     """Update every row of ``T_self`` given frozen ``T_other``.
 
     ``bucketed`` may be a host-side :class:`BucketedRows` (chunks prepared
@@ -151,7 +152,7 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
         else:
             deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
         theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
-                                       reg, deg)
+                                       reg, deg, solver=solver)
         rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
         rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
         rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
@@ -159,8 +160,9 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
     return T_new
 
 
-@partial(jax.jit, static_argnames=())
-def _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg_vec, deg):
+@partial(jax.jit, static_argnames=("solver",))
+def _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg_vec, deg,
+                           solver: str = "blocked"):
     F1 = reg_vec.shape[0]
     F = F1 - 1
     other = T_other[cols]
@@ -175,6 +177,11 @@ def _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg_vec, deg):
     G = G + jnp.eye(F1)[None] * lam
     rhs = jnp.einsum("bdf,bd->bf", X, y,
                      preferred_element_type=jnp.float32)
+    if solver == "blocked":
+        # batch-vectorized blocked Cholesky (ops/batched_linalg) — 4.4x
+        # the XLA custom-call path for many small systems on TPU
+        from cu2rec_tpu.ops.batched_linalg import ridge_solve_batched
+        return ridge_solve_batched(G, rhs)
     chol = jnp.linalg.cholesky(G)
     z = jax.scipy.linalg.solve_triangular(chol, rhs[..., None], lower=True)
     return jax.scipy.linalg.solve_triangular(
