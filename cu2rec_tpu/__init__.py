@@ -26,6 +26,7 @@ Design stance (TPU-first, not a port):
 from cu2rec_tpu.utils.config import Config
 from cu2rec_tpu.models.state import MFModel, init_model
 from cu2rec_tpu.train.trainer import train
+from cu2rec_tpu.train.als import train_als
 from cu2rec_tpu.data.ratings import read_ratings_csv
 from cu2rec_tpu.data.csr import build_csr, CSRRatings
 
@@ -36,6 +37,7 @@ __all__ = [
     "MFModel",
     "init_model",
     "train",
+    "train_als",
     "read_ratings_csv",
     "build_csr",
     "CSRRatings",

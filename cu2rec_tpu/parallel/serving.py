@@ -79,3 +79,45 @@ def distributed_topk(mesh: Mesh, p_rows, ub_rows, Q, item_bias, global_bias,
     return jax.jit(f)(p_rows, ub_rows, Q, item_bias,
                       jnp.asarray(global_bias, jnp.float32),
                       jnp.asarray(rated_items), jnp.asarray(rated_mask))
+
+
+def sharded_recall_at_k(mesh: Mesh, model, train_csr, test_csr,
+                        k: int = 10, batch_size: int = 1024,
+                        max_users: int | None = None) -> float:
+    """Mean recall@k over test users, scored through the item-sharded
+    serving path (the distributed analogue of
+    serve.recommend.recall_at_k_eval).
+
+    ``model`` is an (unpadded) MFModel; Q/item_bias are padded to the ip
+    size here and every batch runs ``distributed_topk``.
+    """
+    import numpy as np
+
+    from cu2rec_tpu.ops.topk import recall_at_k
+    from cu2rec_tpu.parallel.sharded import pad_model
+    from cu2rec_tpu.serve.recommend import padded_user_lists
+
+    n_ip = mesh.shape[mesh.axis_names[-1]]
+    I_pad = -(-model.n_items // n_ip) * n_ip
+    padded = pad_model(model, model.n_users, I_pad)
+
+    test_counts = np.diff(test_csr.indptr)
+    users = np.nonzero(test_counts > 0)[0]
+    if max_users:
+        users = users[:max_users]
+    if len(users) == 0:
+        return 0.0
+    total, n = 0.0, 0
+    for b0 in range(0, len(users), batch_size):
+        batch = users[b0:b0 + batch_size]
+        rated, rmask = padded_user_lists(train_csr, batch)
+        uids = jnp.asarray(batch)
+        _, rec = distributed_topk(
+            mesh, padded.P[uids], padded.user_bias[uids], padded.Q,
+            padded.item_bias, float(model.global_bias), rated, rmask,
+            k=k, n_items=model.n_items)
+        rel, relmask = padded_user_lists(test_csr, batch)
+        r = recall_at_k(rec, jnp.asarray(rel), jnp.asarray(relmask))
+        total += float(jnp.sum(r))
+        n += len(batch)
+    return total / n

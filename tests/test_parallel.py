@@ -214,3 +214,16 @@ def test_distributed_topk_matches_single(toy_csr):
         for (v1, i1), (v2, i2) in zip(dv, sv):
             np.testing.assert_allclose(v1, v2, rtol=1e-5)
             assert i1 == i2
+
+
+def test_sharded_recall_matches_single(toy_csr, toy_ratings):
+    from cu2rec_tpu.parallel.serving import sharded_recall_at_k
+    from cu2rec_tpu.serve.recommend import recall_at_k_eval
+    cfg = Config(total_iterations=100, n_factors=4, learning_rate=0.05,
+                 check_error=100)
+    model, _ = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                     logger=MetricsLogger(verbose=False))
+    r_single = recall_at_k_eval(model, toy_csr, toy_csr, k=2)
+    r_sharded = sharded_recall_at_k(make_mesh(1, 4), model, toy_csr,
+                                    toy_csr, k=2)
+    assert abs(r_single - r_sharded) < 1e-6
