@@ -65,10 +65,18 @@ def main(argv=None) -> int:
     # Free-memory probe at startup (mf.cu:33-37).
     print_free_memory()
 
+    # Build both CSRs with shared dimensions (max over the two files):
+    # evaluation indexes the model tables by user/item id, so the splits
+    # must agree on the id space.  (The reference sizes each matrix from
+    # its own file's max ids — mf.cu:43-51 — and relies on preprocessing
+    # to keep test ⊆ train; sharded eval additionally requires equal
+    # padded dims, see parallel/sharded.py.)
     train_rd = read_ratings_csv(args.train_csv)
-    train_csr = build_csr(train_rd)
     test_rd = read_ratings_csv(args.test_csv)
-    test_csr = build_csr(test_rd, n_users=None, n_items=None)
+    n_users = max(train_rd.n_users, test_rd.n_users)
+    n_items = max(train_rd.n_items, test_rd.n_items)
+    train_csr = build_csr(train_rd, n_users=n_users, n_items=n_items)
+    test_csr = build_csr(test_rd, n_users=n_users, n_items=n_items)
 
     model = None
     if args.resume:
@@ -95,18 +103,23 @@ def main(argv=None) -> int:
 
     logger = MetricsLogger(jsonl_path=args.jsonl)
 
-    engine = None
-    if args.devices and args.devices > 1:
-        from cu2rec_tpu.parallel.sharded import ShardedEngine
-        engine = ShardedEngine(train_csr, test_csr, cfg,
-                               n_devices=args.devices)
-
     if cfg.algo == "als":
+        # ALS shards its batched ridge solves over a mesh directly — no
+        # ShardedEngine needed (each row's solve is independent).
+        mesh = None
+        if args.devices and args.devices > 1:
+            from cu2rec_tpu.parallel.sharded import make_mesh
+            mesh = make_mesh(args.devices)
         from cu2rec_tpu.train.als import train_als
         model, _losses = train_als(train_csr, test_csr, cfg,
                                    train_rd.global_bias, model=model,
-                                   logger=logger)
+                                   logger=logger, mesh=mesh)
     else:
+        engine = None
+        if args.devices and args.devices > 1:
+            from cu2rec_tpu.parallel.sharded import ShardedEngine
+            engine = ShardedEngine(train_csr, test_csr, cfg,
+                                   n_devices=args.devices)
         model, _losses = train(train_csr, test_csr, cfg,
                                train_rd.global_bias,
                                model=model, logger=logger, engine=engine,

@@ -67,6 +67,32 @@ def build_csr(ratings: RatingsData, n_users: int | None = None,
     )
 
 
+def normalize_csr_dims(csr: CSRRatings, n_users: int,
+                       n_items: int) -> CSRRatings:
+    """Grow a CSR's dimensions to (n_users, n_items) without moving data.
+
+    Growing the user axis appends empty rows (repeated indptr values — the
+    missing-user convention of util.cu:159-164); growing the item axis is
+    metadata only.  Shrinking raises: it would drop ratings.  Used to align
+    a test-split CSR with the train CSR's dimensions so evaluation indexes
+    the same parameter tables (the reference's preprocessing guarantees
+    test ⊆ train ids via add_missing=False, map_items.py:43-53, but its
+    loss kernel would silently read out of bounds otherwise).
+    """
+    if n_users < csr.n_users or n_items < csr.n_items:
+        raise ValueError(
+            f"cannot shrink CSR dims ({csr.n_users}x{csr.n_items}) to "
+            f"({n_users}x{n_items})")
+    if n_users == csr.n_users and n_items == csr.n_items:
+        return csr
+    indptr = np.concatenate([
+        csr.indptr,
+        np.full(n_users - csr.n_users, csr.indptr[-1],
+                dtype=csr.indptr.dtype)])
+    return CSRRatings(indptr=indptr, indices=csr.indices, data=csr.data,
+                      n_users=n_users, n_items=n_items)
+
+
 def csr_from_arrays(users: np.ndarray, items: np.ndarray, data: np.ndarray,
                     n_users: int, n_items: int,
                     use_native: bool = True) -> CSRRatings:

@@ -303,6 +303,16 @@ class ShardedEngine:
         self.cfg = cfg
         self.eval_chunk = eval_chunk
         self.key = jax.random.PRNGKey(cfg.seed)
+        # Align the test split's dimensions to the train CSR's before
+        # sharding: shard_ratings rebases local row ids against its OWN
+        # padded user count, so a test CSR with fewer users than train
+        # would shard against a different U_loc and silently evaluate
+        # wrong users (and the wrong RMSE would drive the LR scheduler).
+        from cu2rec_tpu.data.csr import normalize_csr_dims
+        n_users = max(train_csr.n_users, test_csr.n_users)
+        n_items = max(train_csr.n_items, test_csr.n_items)
+        train_csr = normalize_csr_dims(train_csr, n_users, n_items)
+        test_csr = normalize_csr_dims(test_csr, n_users, n_items)
         self.n_users = train_csr.n_users
         self.n_items = train_csr.n_items
         self.train_sh = shard_ratings(train_csr, self.n_dp, self.n_ip, mesh)
@@ -315,8 +325,14 @@ class ShardedEngine:
     # -- program construction -------------------------------------------
     def _build_programs(self):
         mesh = self.mesh
-        U_pad = self.U_pad
-        n_users_global = U_pad  # rotation modulus over padded users
+        # Rotation modulus = the UNPADDED user count, matching the
+        # single-chip paths exactly (ops/sgd.py rotated_priority with
+        # n_users; trainer.single_step / packed_step use model.P.shape[0]
+        # which is unpadded).  Padded users alias real priorities, but they
+        # never sample (has=False), so the aliases never enter an election.
+        # Using U_pad here broke the bit-identical sharded==single contract
+        # whenever n_users % n_dp != 0.
+        n_users_global = self.n_users
         eval_chunk = self.eval_chunk
         n_factors = self.cfg.n_factors
 

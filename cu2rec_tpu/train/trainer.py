@@ -91,8 +91,12 @@ def _subsample_dev(csr: CSRRatings, n_sample: int, seed: int,
     sel = np.sort(rng.choice(csr.nnz, size=n_sample, replace=False))
     padded = -(-n_sample // pad_multiple) * pad_multiple
     pad = padded - n_sample
+    # indptr=None deliberately: the subsample's indices/data no longer
+    # correspond to the full CSR's indptr, and eval never reads indptr —
+    # any future caller that tries to sample from this (sample_items reads
+    # indptr) fails loudly instead of reading garbage positions.
     return DeviceRatings(
-        indptr=jnp.asarray(csr.indptr),
+        indptr=None,
         indices=jnp.asarray(np.pad(csr.indices[sel], (0, pad))),
         data=jnp.asarray(np.pad(csr.data[sel], (0, pad))),
         row_ids=jnp.asarray(np.pad(csr.row_ids[sel], (0, pad))),
@@ -120,6 +124,11 @@ class SingleChipEngine:
             self.train_eval_dev = _subsample_dev(train_csr,
                                                  cfg.train_eval_sample,
                                                  cfg.seed)
+        self.test_eval_dev = self.test_dev
+        if cfg.test_eval_sample and test_csr.nnz > cfg.test_eval_sample:
+            self.test_eval_dev = _subsample_dev(test_csr,
+                                                cfg.test_eval_sample,
+                                                cfg.seed + 1)
         self.cfg = cfg
         self.eval_chunk = eval_chunk
         self.key = jax.random.PRNGKey(cfg.seed)
@@ -154,7 +163,7 @@ class SingleChipEngine:
                             self.cfg.collision_policy)
 
     def evaluate(self, state, split: str):
-        dev = self.train_eval_dev if split == "train" else self.test_dev
+        dev = self.train_eval_dev if split == "train" else self.test_eval_dev
         if self.packed:
             from cu2rec_tpu.ops.loss import evaluate_packed
             return evaluate_packed(state, dev, self.eval_chunk)
@@ -167,14 +176,19 @@ class SingleChipEngine:
         return state
 
 
-def eval_segments(total_iterations: int, check_error: int):
+def eval_segments(total_iterations: int, check_error: int, start: int = 0):
     """Segment lengths between the reference's eval points
     (training.cu:118: eval after iteration i when (i+1)%check_error==0,
-    i==0, or i is last).  Yields (n_steps, eval_iteration_1based)."""
+    i==0, or i is last).  Yields (n_steps, eval_iteration_1based).
+
+    ``start`` skips completed work (resume: a run checkpointed at
+    cur_iterations=4500/5000 trains only the remaining 500)."""
     points = sorted({1, total_iterations} | {
         j for j in range(check_error, total_iterations + 1, check_error)})
-    prev = 0
+    prev = start
     for p in points:
+        if p <= start:
+            continue
         yield p - prev, p
         prev = p
 
@@ -215,8 +229,15 @@ def train_with_engine(engine, cfg: Config, model: MFModel,
     if warmup:
         _warmup(engine, cfg, model)
     total = cfg.total_iterations
+    start_iter = cfg.cur_iterations
+    if start_iter >= total and start_iter > 0:
+        # Nothing left to train (resume of a completed run).
+        model = engine.finalize(model)
+        logger.log_time(0, 0.0)
+        return model, losses
     start_time = time.perf_counter()
-    for n_steps, eval_iter in eval_segments(total, cfg.check_error):
+    for n_steps, eval_iter in eval_segments(total, cfg.check_error,
+                                            start=start_iter):
         hp = Hyper(jnp.float32(lr), jnp.float32(cfg.P_reg),
                    jnp.float32(cfg.Q_reg), jnp.float32(cfg.user_bias_reg),
                    jnp.float32(cfg.item_bias_reg))

@@ -59,8 +59,9 @@ class Config:
     # (plus the first and last iteration; reference training.cu:118).
     check_error: int = 500
     # Number of eval points validation RMSE may fail to improve before the
-    # learning rate is decayed (reference training.cu:100-155).
-    patience: float = 2
+    # learning rate is decayed (reference training.cu:100-155; int, matching
+    # reference config.h:47).
+    patience: int = 2
     # Multiplier applied to the learning rate when patience runs out.
     learning_rate_decay: float = 0.2
 
@@ -79,8 +80,12 @@ class Config:
     # If > 0, evaluate the TRAIN-split RMSE/MAE on a random subsample of at
     # most this many ratings (the reference evaluates the full train set
     # every check_error iterations, training.cu:121-123 — exact but
-    # expensive at Netflix scale).  Test-split eval is always full.
+    # expensive at Netflix scale).
     train_eval_sample: int = 0
+    # Same, for the TEST split.  Note the plateau LR scheduler keys off the
+    # test RMSE, so a subsampled test eval perturbs the decay schedule —
+    # use only at 100M-rating scale where full eval dominates step time.
+    test_eval_sample: int = 0
 
     LEGACY_FIELDS = (
         "cur_iterations", "total_iterations", "n_factors", "learning_rate",

@@ -68,7 +68,10 @@ def test_shard_ratings_reassembles(toy_csr):
                                        (1, 4)])
 def test_sharded_matches_single_chip(toy_csr, cfg, n_dp, n_ip):
     """THE core test: N-device run == 1-device run, exactly (up to float
-    associativity in eval)."""
+    associativity in eval) — against the plain UNPADDED single-chip run,
+    including when n_users is not divisible by n_dp (toy U=6, dp=4): the
+    election priority modulus must be the unpadded user count on both
+    paths."""
     if not have_devices(n_dp * n_ip):
         pytest.skip("not enough devices")
     gb = 3.5556
@@ -81,26 +84,11 @@ def test_sharded_matches_single_chip(toy_csr, cfg, n_dp, n_ip):
     key = jax.random.PRNGKey(cfg.seed)
 
     engine = ShardedEngine(toy_csr, toy_csr, cfg, mesh=make_mesh(n_dp, n_ip))
-    U_pad = engine.U_pad
 
     sharded = engine.finalize(engine.run(model0, HP, 0, 10))
 
-    # For exact comparison, run the single-chip path over the padded user
-    # space (same rotation modulus, same per-user sample streams).
-    from cu2rec_tpu.data.csr import CSRRatings, build_csr
-    import numpy as _np
-    indptr_pad = _np.zeros(U_pad + 1, dtype=_np.int32)
-    indptr_pad[:toy_csr.n_users + 1] = toy_csr.indptr
-    indptr_pad[toy_csr.n_users + 1:] = toy_csr.indptr[-1]
-    I_pad = engine.I_pad
-    csr_pad = CSRRatings(indptr=indptr_pad, indices=toy_csr.indices,
-                         data=toy_csr.data, n_users=U_pad, n_items=I_pad)
-    dev_pad = to_device(csr_pad)
-    model_pad = pad_model(model0b, U_pad, I_pad)
-
-    single = run_steps(model_pad, dev_pad, HP, key, jnp.int32(0), 10,
-                       True, "first_wins")
-    single = trim_model(single, toy_csr.n_users, toy_csr.n_items)
+    single = run_steps(model0b, to_device(toy_csr), HP, key, jnp.int32(0),
+                       10, True, "first_wins")
 
     np.testing.assert_allclose(np.asarray(sharded.P), np.asarray(single.P),
                                atol=1e-6)
@@ -227,3 +215,26 @@ def test_sharded_recall_matches_single(toy_csr, toy_ratings):
     r_sharded = sharded_recall_at_k(make_mesh(1, 4), model, toy_csr,
                                     toy_csr, k=2)
     assert abs(r_single - r_sharded) < 1e-6
+
+
+def test_sharded_eval_with_smaller_test_split(toy_csr, cfg):
+    """Test split whose max user id < train's (e.g. the max-id user has no
+    test ratings): ShardedEngine must align the test CSR's dims to train's
+    before sharding, or local row ids rebase against the wrong U_loc and
+    the engine evaluates the wrong users."""
+    from cu2rec_tpu.data.csr import CSRRatings, normalize_csr_dims
+    keep_users = 3  # 3 < 6 and not divisible alignment with dp=4
+    hi = int(toy_csr.indptr[keep_users])
+    test_csr = CSRRatings(indptr=toy_csr.indptr[:keep_users + 1],
+                          indices=toy_csr.indices[:hi],
+                          data=toy_csr.data[:hi],
+                          n_users=keep_users, n_items=toy_csr.n_items)
+    model = init_model(toy_csr.n_users, toy_csr.n_items, cfg.n_factors,
+                       3.5556, seed=7)
+    engine = ShardedEngine(toy_csr, test_csr, cfg, mesh=make_mesh(4, 1))
+    rmse_s, mae_s = engine.evaluate(model, "test")
+    dev = to_device(normalize_csr_dims(test_csr, toy_csr.n_users,
+                                       toy_csr.n_items))
+    rmse1, mae1 = eval_single(model, dev)
+    np.testing.assert_allclose(rmse_s, rmse1, rtol=1e-5)
+    np.testing.assert_allclose(mae_s, mae1, rtol=1e-5)

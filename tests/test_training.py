@@ -94,3 +94,44 @@ def test_train_eval_subsample(toy_csr, toy_ratings):
     _, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
                       logger=quiet())
     assert np.isfinite(losses[10])
+
+
+def test_eval_segments_resume_start():
+    from cu2rec_tpu.train.trainer import eval_segments
+    assert list(eval_segments(10, 5)) == [(1, 1), (4, 5), (5, 10)]
+    assert list(eval_segments(10, 5, start=5)) == [(5, 10)]
+    assert list(eval_segments(10, 5, start=9)) == [(1, 10)]
+    assert list(eval_segments(10, 5, start=10)) == []
+
+
+def test_resume_skips_completed_work(toy_csr, toy_ratings):
+    """A run interrupted at 5/10 and resumed trains ONLY the remaining 5
+    iterations — and, because the sample streams are counter-based on the
+    absolute iteration number, produces bit-identical results to the
+    uninterrupted run."""
+    import numpy as np
+    from cu2rec_tpu.train.trainer import train
+    from cu2rec_tpu.utils.config import Config
+    from cu2rec_tpu.utils.metrics import MetricsLogger
+
+    gb = toy_ratings.global_bias
+    kw = dict(check_error=5, n_factors=4, learning_rate=0.05)
+    full_cfg = Config(total_iterations=10, **kw)
+    model_full, _ = train(toy_csr, toy_csr, full_cfg, gb,
+                          logger=MetricsLogger(verbose=False))
+
+    cfg_a = Config(total_iterations=5, **kw)
+    model_a, _ = train(toy_csr, toy_csr, cfg_a, gb,
+                       logger=MetricsLogger(verbose=False))
+    assert cfg_a.cur_iterations == 5
+
+    cfg_b = Config(total_iterations=10, **kw)
+    cfg_b.cur_iterations = 5  # as restored from a checkpoint
+    model_b, _ = train(toy_csr, toy_csr, cfg_b, gb, model=model_a,
+                       logger=MetricsLogger(verbose=False))
+    assert cfg_b.cur_iterations == 10  # trained exactly 5 more, not 10
+
+    np.testing.assert_allclose(np.asarray(model_b.P),
+                               np.asarray(model_full.P), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model_b.Q),
+                               np.asarray(model_full.Q), atol=1e-6)
