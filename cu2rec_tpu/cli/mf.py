@@ -43,8 +43,11 @@ def build_parser():
                    help="resume from a .npz checkpoint")
     p.add_argument("--devices", type=int, default=0,
                    help="shard over this many devices (0 = single device)")
-    p.add_argument("--collision", choices=["first_wins", "mean"],
-                   default=None)
+    p.add_argument("--collision", choices=["first_wins", "mean", "twin"],
+                   default=None,
+                   help="item-update policy: first_wins = deterministic "
+                        "Hogwild parity; mean = average colliding updates; "
+                        "twin = per-item sampling, scatter-free (fastest)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas SGD kernel")

@@ -18,13 +18,32 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--seed", type=int, default=42)
     p.add_argument("--per-user", action="store_true",
                    help="stratify the split per user")
+    p.add_argument("--fast", action="store_true", default=None,
+                   help="vectorized numpy split + native parallel writer "
+                        "(auto above 2M rows); same seeded-global-shuffle "
+                        "protocol, different permutation stream")
     args = p.parse_args(argv)
+
+    filepath, extension = os.path.splitext(args.file_ratings)
+    fast = args.fast
+    if fast is None and not args.per_user:
+        fast = os.path.getsize(args.file_ratings) > (2 << 20) * 16
+    if fast and not args.per_user:
+        import numpy as np
+        from cu2rec_tpu.data.native import native_write_ratings
+        from cu2rec_tpu.data.ratings import read_ratings_csv
+        from cu2rec_tpu.data.synth import split_arrays
+        rd = read_ratings_csv(args.file_ratings)
+        tr, te = split_arrays(rd.users, rd.items, rd.ratings,
+                              1 - args.test_ratio, seed=args.seed)
+        native_write_ratings(f"{filepath}_train{extension}", *tr)
+        native_write_ratings(f"{filepath}_test{extension}", *te)
+        return 0
 
     rows = read_rating_rows(args.file_ratings)
     splitter = split_per_user if args.per_user else split_true
     train, test = splitter(rows, 1 - args.test_ratio, seed=args.seed)
 
-    filepath, extension = os.path.splitext(args.file_ratings)
     write_ratings_csv(f"{filepath}_train{extension}", train)
     write_ratings_csv(f"{filepath}_test{extension}", test)
     return 0

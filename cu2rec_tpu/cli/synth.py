@@ -1,0 +1,71 @@
+"""``cu2rec-synth`` — generate a planted-model synthetic ratings CSV.
+
+No-network stand-in for the reference benchmark grid's real datasets
+(reference experiments/cu2rec.sh:8-10); see cu2rec_tpu/data/synth.py for
+the planted-model construction and its exact quality floor.  Presets:
+
+    --preset ml20m     138,000 users × 27,000 items × 20M ratings
+    --preset netflix   480,189 users × 17,770 items × 100.48M ratings
+
+Writes the raw CSV plus a ``<out>.meta.json`` with the noise floor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+PRESETS = {
+    "ml100k": dict(users=610, items=9_724, ratings=100_836),
+    "ml20m": dict(users=138_000, items=27_000, ratings=20_000_000),
+    "netflix": dict(users=480_189, items=17_770, ratings=100_480_507),
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="cu2rec-synth", description=__doc__)
+    p.add_argument("out_csv")
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--users", type=int, default=10_000)
+    p.add_argument("--items", type=int, default=2_000)
+    p.add_argument("--ratings", type=int, default=1_000_000)
+    p.add_argument("--factors", type=int, default=20,
+                   help="planted latent rank")
+    p.add_argument("--noise", type=float, default=0.30,
+                   help="rating noise std == Bayes test RMSE")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clip", action="store_true",
+                   help="censor ratings to [1, 5] (floor becomes inexact)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from cu2rec_tpu.data.synth import generate_planted, write_planted_csv
+
+    dims = dict(users=args.users, items=args.items, ratings=args.ratings)
+    if args.preset:
+        dims = dict(PRESETS[args.preset])
+    t0 = time.perf_counter()
+    data = generate_planted(dims["users"], dims["items"], dims["ratings"],
+                            n_factors=args.factors, noise=args.noise,
+                            seed=args.seed,
+                            clip=(1.0, 5.0) if args.clip else None)
+    t1 = time.perf_counter()
+    write_planted_csv(data, args.out_csv)
+    t2 = time.perf_counter()
+    meta = dict(noise_floor=data.noise_floor, mu=data.mu,
+                planted_factors=args.factors, seed=args.seed, **dims)
+    with open(args.out_csv + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+        f.write("\n")
+    print(f"Generated {dims['ratings']} ratings "
+          f"({dims['users']}x{dims['items']}, planted F={args.factors}, "
+          f"floor RMSE={data.noise_floor}) in {t1 - t0:.1f}s, "
+          f"wrote {args.out_csv} in {t2 - t1:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -133,6 +133,11 @@ class DeviceRatings:
     128-wide rows, so fetching a sampled (item, rating) pair is ONE
     lane-aligned row gather + two in-register lane selects instead of two
     element gathers (XLA TPU element gathers run ~element-at-a-time).
+
+    ``it_indptr``/``it_pair_pack`` are the ITEM-major mirror (indptr over
+    items; (user, rating) pairs interleaved), present only when built with
+    ``item_major=True`` — the twin-sampling step samples one rater per
+    item from them (see ops/packed.py, collision="twin").
     """
 
     indptr: object     # jnp (n_users+1,) int32
@@ -143,15 +148,40 @@ class DeviceRatings:
     nnz: int           # true (unpadded) count
     n_users: int
     n_items: int
+    it_indptr: object = None     # jnp (n_items+1,) int32, or None
+    it_pair_pack: object = None  # jnp (nnz_padded/64, 128) int32, or None
 
 
-def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None) -> DeviceRatings:
+def transpose_csr(csr: CSRRatings):
+    """Item-major view of the ratings: (it_indptr over items, user row_ids
+    sorted by (item, user), ratings in the same order)."""
+    order = np.lexsort((csr.row_ids, csr.indices))
+    items_sorted = csr.indices[order]
+    counts = np.bincount(items_sorted, minlength=csr.n_items)
+    it_indptr = np.zeros(csr.n_items + 1, dtype=np.int64)
+    np.cumsum(counts, out=it_indptr[1:])
+    return it_indptr, csr.row_ids[order].astype(np.int32), csr.data[order]
+
+
+def _interleave_pairs(ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """(id, rating-bits) interleaved into 128-lane rows for fetch_pairs."""
+    pair = np.empty(2 * len(ids), dtype=np.int32)
+    pair[0::2] = ids
+    pair[1::2] = vals.view(np.int32)
+    return pair.reshape(-1, 128)
+
+
+def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
+              item_major: bool = False) -> DeviceRatings:
     """Upload a host CSR to the device (the H→D boundary of matrix.cu:28-40).
 
     Padding rows carry user=0/item=0/rating=0 and are masked out by eval via
     the true ``nnz``.  The default ``pad_multiple=128`` keeps the flat
     arrays lane-aligned so ops can use the fast row-gather path
     (cu2rec_tpu.ops.sgd.gather_1d).
+
+    ``item_major=True`` also uploads the transposed (item-major) sampling
+    structure used by the twin-sampling step — +8 bytes/rating of HBM.
     """
     import jax
     import jax.numpy as jnp
@@ -163,20 +193,25 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None) -> Device
     indices = np.pad(csr.indices, (0, pad))
     data = np.pad(csr.data, (0, pad))
     row_ids = np.pad(csr.row_ids, (0, pad))
-    pair = np.empty(2 * padded, dtype=np.int32)
-    pair[0::2] = indices
-    pair[1::2] = data.view(np.int32)
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
         else jnp.asarray
+    it_indptr = it_pair = None
+    if item_major:
+        ip_host, it_users, it_vals = transpose_csr(csr)
+        it_indptr = jnp.asarray(ip_host.astype(np.int32))
+        it_pair = put(_interleave_pairs(np.pad(it_users, (0, pad)),
+                                        np.pad(it_vals, (0, pad))))
     return DeviceRatings(
         indptr=jnp.asarray(csr.indptr),
         indices=put(indices),
         data=put(data),
         row_ids=put(row_ids),
-        pair_pack=put(pair.reshape(-1, 128)),
+        pair_pack=put(_interleave_pairs(indices, data)),
         nnz=nnz,
         n_users=csr.n_users,
         n_items=csr.n_items,
+        it_indptr=it_indptr,
+        it_pair_pack=it_pair,
     )
 
 
@@ -184,6 +219,7 @@ import jax.tree_util as _jtu
 
 _jtu.register_dataclass(
     DeviceRatings,
-    data_fields=["indptr", "indices", "data", "row_ids", "pair_pack"],
+    data_fields=["indptr", "indices", "data", "row_ids", "pair_pack",
+                 "it_indptr", "it_pair_pack"],
     meta_fields=["nnz", "n_users", "n_items"],
 )

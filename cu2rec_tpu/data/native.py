@@ -73,6 +73,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.cu2rec_write_ratings.restype = ctypes.c_int
+        lib.cu2rec_write_ratings.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_char_p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -104,6 +110,31 @@ def native_read_ratings(path: str, delim: int, skip_lines: int):
     finally:
         lib.cu2rec_ingest_close(handle)
     return users, items, ratings
+
+
+def native_write_ratings(path: str, users: np.ndarray, items: np.ndarray,
+                         ratings: np.ndarray,
+                         header: str = "userId,itemId,rating") -> None:
+    """Parallel ratings-CSV writer (0-based arrays → 1-based file, the
+    write_to_file contract of the reference's map_items.py:80-89).
+
+    Raises if the native library is unavailable (caller falls back).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    n = users.shape[0]
+    users = np.ascontiguousarray(users, dtype=np.int32)
+    items = np.ascontiguousarray(items, dtype=np.int32)
+    ratings = np.ascontiguousarray(ratings, dtype=np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.cu2rec_write_ratings(
+        path.encode(), users.ctypes.data_as(i32p),
+        items.ctypes.data_as(i32p), ratings.ctypes.data_as(f32p), n,
+        header.encode() if header else b"")
+    if rc != 0:
+        raise OSError(f"native_write_ratings failed for {path}")
 
 
 def native_csr_build(users: np.ndarray, items: np.ndarray,

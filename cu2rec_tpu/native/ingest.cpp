@@ -279,3 +279,56 @@ int cu2rec_csr_build(const int32_t* users, const int32_t* items,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fast ratings-CSV writer: the inverse of the ingest path, used by the
+// planted-synthetic data generator to materialize ML-20M/Netflix-scale
+// files for the full CLI journey (write_to_file contract of the
+// reference's preprocessing/map_items.py:80-89: `userId,itemId,rating`
+// rows, 1-based ids, optional header).  Rows are formatted in parallel
+// into per-thread buffers, then written sequentially in order.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// users/items 0-based int32 (written 1-based); ratings float32.
+// Returns 0 on success, -1 on I/O failure.
+int cu2rec_write_ratings(const char* path, const int32_t* users,
+                         const int32_t* items, const float* ratings,
+                         int64_t n, const char* header) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    if (header && header[0]) {
+        fputs(header, f);
+        fputc('\n', f);
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? hw : 4;
+    int64_t per = (n + (int64_t)n_threads - 1) / (int64_t)n_threads;
+    std::vector<std::string> bufs(n_threads);
+    auto worker = [&](size_t t) {
+        int64_t lo = (int64_t)t * per;
+        int64_t hi = std::min(lo + per, n);
+        if (lo >= hi) return;
+        std::string& out = bufs[t];
+        out.reserve((size_t)(hi - lo) * 20);
+        char line[64];
+        for (int64_t i = lo; i < hi; ++i) {
+            int len = snprintf(line, sizeof line, "%d,%d,%.3f\n",
+                               users[i] + 1, items[i] + 1,
+                               (double)ratings[i]);
+            out.append(line, (size_t)len);
+        }
+    };
+    std::vector<std::thread> workers;
+    for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
+    worker(0);
+    for (auto& w : workers) w.join();
+    int rc = 0;
+    for (auto& b : bufs)
+        if (b.size() && fwrite(b.data(), 1, b.size(), f) != b.size()) rc = -1;
+    if (fclose(f) != 0) rc = -1;
+    return rc;
+}
+
+}  // extern "C"

@@ -28,8 +28,10 @@ import numpy as np
 from cu2rec_tpu.data.csr import CSRRatings
 
 # Degree-bucket capacities. A row with degree d lands in the smallest
-# bucket with capacity >= d; rows beyond the largest capacity are
-# truncated to their most recent `cap` entries (ultra-heavy tail).
+# bucket with capacity >= d; rows beyond the largest capacity go to the
+# HEAVY path: their slice is split into cap-sized segments whose partial
+# Gram matrices are summed exactly (the Gram is a sum over ratings — no
+# truncation; see _solve_heavy).
 BUCKET_CAPS = (8, 32, 128, 512, 2048, 8192)
 
 
@@ -37,11 +39,14 @@ BUCKET_CAPS = (8, 32, 128, 512, 2048, 8192)
 class BucketedRows:
     """Padded per-row rating slices grouped by degree bucket (host side).
 
-    For each bucket: ``row_ids`` (B,), ``cols`` (B, D) padded counterpart
-    ids, ``vals`` (B, D) ratings, ``mask`` (B, D).
+    Regular bucket: ``row_ids`` (B,), ``cols`` (B, D) padded counterpart
+    ids, ``vals`` (B, D) ratings, ``mask`` (B, D).  The heavy bucket
+    (rows with degree > caps[-1]) additionally carries the segment
+    structure: rows (H,) with per-row segment ranges ``seg_start``/
+    ``seg_end`` (H,) into the (S, D) segment axis, and true ``deg`` (H,).
     """
 
-    buckets: list  # of dict(row_ids, cols, vals, mask)
+    buckets: list  # of dict(row_ids, cols, vals, mask [, seg_*, deg])
     n_rows: int
 
 
@@ -51,35 +56,48 @@ def bucket_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     nnz = len(indices)
     indptr = np.asarray(indptr, dtype=np.int64)
     deg = np.diff(indptr)
+
+    def extract(starts, lens, cap):
+        """Vectorized padded-slice extraction (no per-row Python loop)."""
+        j = np.arange(cap, dtype=np.int64)[None, :]
+        mask = j < lens[:, None]
+        pos = np.clip(starts[:, None] + j, 0, max(nnz - 1, 0))
+        cols = np.where(mask, indices[pos], 0).astype(np.int32)
+        vals = np.where(mask, data[pos], 0).astype(np.float32)
+        return cols, vals, mask
+
     buckets = []
     for bi, cap in enumerate(caps):
         lo = caps[bi - 1] if bi else 0
-        sel = np.nonzero((deg > lo) & (deg <= cap))[0] if cap != caps[-1] \
-            else np.nonzero(deg > lo)[0]
+        sel = np.nonzero((deg > lo) & (deg <= cap))[0]
         if len(sel) == 0:
             continue
-        # vectorized padded-slice extraction (no per-row Python loop):
-        # keep each row's LAST min(deg, cap) entries
-        ends = indptr[sel + 1]
-        d = np.minimum(deg[sel], cap)
-        j = np.arange(cap, dtype=np.int64)[None, :]
-        mask = j < d[:, None]
-        pos = np.clip((ends - d)[:, None] + j, 0, max(nnz - 1, 0))
-        cols = np.where(mask, indices[pos], 0).astype(np.int32)
-        vals = np.where(mask, data[pos], 0).astype(np.float32)
+        cols, vals, mask = extract(indptr[sel], deg[sel], cap)
         buckets.append({"row_ids": sel.astype(np.int32), "cols": cols,
                         "vals": vals, "mask": mask})
+
+    # Heavy tail: exact segmented extraction (every rating kept).
+    cap = caps[-1]
+    sel = np.nonzero(deg > cap)[0]
+    if len(sel):
+        d = deg[sel]
+        nseg = -(-d // cap)
+        seg_end = np.cumsum(nseg)
+        seg_start = seg_end - nseg
+        owner = np.repeat(np.arange(len(sel)), nseg)          # (S,)
+        segidx = np.arange(seg_end[-1]) - seg_start[owner]    # j within row
+        sstarts = indptr[sel][owner] + segidx * cap
+        slens = np.minimum(indptr[sel + 1][owner] - sstarts, cap)
+        cols, vals, mask = extract(sstarts, slens, cap)
+        buckets.append({"row_ids": sel.astype(np.int32), "cols": cols,
+                        "vals": vals, "mask": mask,
+                        "seg_start": seg_start.astype(np.int32),
+                        "seg_end": seg_end.astype(np.int32),
+                        "deg": d.astype(np.float32)})
     return BucketedRows(buckets=buckets, n_rows=n_rows)
 
 
-def transpose_csr(csr: CSRRatings):
-    """Item-major view of the ratings (indptr over items)."""
-    order = np.lexsort((csr.row_ids, csr.indices))
-    items_sorted = csr.indices[order]
-    counts = np.bincount(items_sorted, minlength=csr.n_items)
-    indptr = np.zeros(csr.n_items + 1, dtype=np.int64)
-    np.cumsum(counts, out=indptr[1:])
-    return indptr, csr.row_ids[order].astype(np.int32), csr.data[order]
+from cu2rec_tpu.data.csr import transpose_csr  # noqa: F401  (shared impl)
 
 
 def prepare_chunks(bucketed: BucketedRows, n_factors: int,
@@ -103,22 +121,57 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
             n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
             chunk = max(n_dev, (chunk // n_dev) * n_dev)
 
-        def pad_chunk(x, s, e, fill=0):
+        def pad_chunk(x, s, e, fill=0, sharded=True, width=chunk):
             out = x[s:e]
-            if e - s < chunk:
-                pad = [(0, chunk - (e - s))] + [(0, 0)] * (x.ndim - 1)
+            if e - s < width:
+                pad = [(0, width - (e - s))] + [(0, 0)] * (x.ndim - 1)
                 out = np.pad(out, pad, constant_values=fill)
-            if row_sharding is not None:
+            if sharded and row_sharding is not None:
                 return jax.device_put(out, row_sharding)
             return jnp.asarray(out)
 
-        for s in range(0, B, chunk):
-            e = min(s + chunk, B)
+        if "seg_start" not in b:
+            for s in range(0, B, chunk):
+                e = min(s + chunk, B)
+                chunks.append(("reg",
+                               pad_chunk(b["cols"], s, e),
+                               pad_chunk(b["vals"], s, e),
+                               pad_chunk(b["mask"], s, e, fill=False),
+                               pad_chunk(b["row_ids"], s, e,
+                                         fill=n_rows_total)))
+            continue
+
+        # Heavy bucket: chunk by WHOLE rows (a row's segment range must
+        # stay inside one chunk so the cumsum-difference Gram assembly in
+        # _solve_heavy sees all of it).  B here counts segments.
+        seg_start, seg_end = b["seg_start"], b["seg_end"]
+        H = len(b["row_ids"])
+        chunk = max(chunk, int((seg_end - seg_start).max()))
+        groups = []
+        lo = 0
+        while lo < H:
+            hi = lo
+            while hi < H and seg_end[hi] - seg_start[lo] <= chunk:
+                hi += 1
+            hi = max(hi, lo + 1)
+            groups.append((lo, hi))
+            lo = hi
+        H_pad = max(hi - lo for lo, hi in groups)
+        for lo, hi in groups:
+            s0, s1 = int(seg_start[lo]), int(seg_end[hi - 1])
             chunks.append((
-                pad_chunk(b["cols"], s, e),
-                pad_chunk(b["vals"], s, e),
-                pad_chunk(b["mask"], s, e, fill=False),
-                pad_chunk(b["row_ids"], s, e, fill=n_rows_total),
+                "heavy",
+                pad_chunk(b["cols"], s0, s1, sharded=False),
+                pad_chunk(b["vals"], s0, s1, sharded=False),
+                pad_chunk(b["mask"], s0, s1, fill=False, sharded=False),
+                pad_chunk(b["row_ids"], lo, hi, fill=n_rows_total,
+                          sharded=False, width=H_pad),
+                pad_chunk(seg_start - s0, lo, hi, fill=0, sharded=False,
+                          width=H_pad),
+                pad_chunk(seg_end - s0, lo, hi, fill=0, sharded=False,
+                          width=H_pad),
+                pad_chunk(b["deg"], lo, hi, fill=1.0, sharded=False,
+                          width=H_pad),
             ))
     return chunks
 
@@ -146,13 +199,21 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
         chunks = prepare_chunks(bucketed, F, T_self.shape[0], row_sharding)
     else:
         chunks = bucketed
-    for cols, vals, mask, rows in chunks:
-        if weight_by_degree:
-            deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
+    for ch in chunks:
+        if ch[0] == "reg":
+            _, cols, vals, mask, rows = ch
+            if weight_by_degree:
+                deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
+            else:
+                deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
+            theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
+                                           reg, deg, solver=solver)
         else:
-            deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
-        theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
-                                       reg, deg, solver=solver)
+            _, cols, vals, mask, rows, s0, s1, degv = ch
+            if not weight_by_degree:
+                degv = jnp.ones_like(degv)
+            theta = _solve_heavy(T_other, cols, vals, mask, mu, reg,
+                                 s0, s1, degv, solver=solver)
         rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
         rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
         rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
@@ -177,6 +238,10 @@ def _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg_vec, deg,
     G = G + jnp.eye(F1)[None] * lam
     rhs = jnp.einsum("bdf,bd->bf", X, y,
                      preferred_element_type=jnp.float32)
+    return _ridge_finish(G, rhs, solver)
+
+
+def _ridge_finish(G, rhs, solver: str):
     if solver == "blocked":
         # batch-vectorized blocked Cholesky (ops/batched_linalg) — 4.4x
         # the XLA custom-call path for many small systems on TPU
@@ -186,3 +251,37 @@ def _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg_vec, deg,
     z = jax.scipy.linalg.solve_triangular(chol, rhs[..., None], lower=True)
     return jax.scipy.linalg.solve_triangular(
         jnp.swapaxes(chol, -1, -2), z, lower=False)[..., 0]
+
+
+@partial(jax.jit, static_argnames=("solver",))
+def _solve_heavy(T_other, cols, vals, mask, mu, reg_vec, seg_start, seg_end,
+                 deg, solver: str = "blocked"):
+    """Exact ridge solve for ultra-heavy rows (degree > caps[-1]).
+
+    The row's slice arrives split into cap-sized segments (S, D); the Gram
+    matrix is a SUM over ratings, so per-segment partial Grams are
+    accumulated exactly via an exclusive cumulative sum and a
+    difference-of-prefixes gather per row — no truncation of hot rows
+    (Netflix hot items have degree ~2×10⁵; the former 8192-entry cap
+    silently solved them on <4% of their data)."""
+    F1 = reg_vec.shape[0]
+    F = F1 - 1
+    other = T_other[cols]
+    q = other[..., :F].astype(jnp.float32)
+    b_other = other[..., F].astype(jnp.float32)
+    m = mask.astype(jnp.float32)[..., None]
+    X = jnp.concatenate([q, jnp.ones_like(b_other)[..., None]], axis=-1) * m
+    y = (vals - mu - b_other) * mask
+    Gseg = jnp.einsum("sdf,sdg->sfg", X, X,
+                      preferred_element_type=jnp.float32)
+    rseg = jnp.einsum("sdf,sd->sf", X, y,
+                      preferred_element_type=jnp.float32)
+    Gz = jnp.concatenate([jnp.zeros((1, F1, F1), jnp.float32),
+                          jnp.cumsum(Gseg, axis=0)], axis=0)
+    rz = jnp.concatenate([jnp.zeros((1, F1), jnp.float32),
+                          jnp.cumsum(rseg, axis=0)], axis=0)
+    G = Gz[seg_end] - Gz[seg_start]                       # (H, F1, F1)
+    rhs = rz[seg_end] - rz[seg_start]                     # (H, F1)
+    lam = reg_vec[None, None, :] * jnp.maximum(deg, 1.0)[:, None, None]
+    G = G + jnp.eye(F1)[None] * lam
+    return _ridge_finish(G, rhs, solver)

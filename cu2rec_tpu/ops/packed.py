@@ -167,6 +167,38 @@ def packed_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
         return PackedModel(T_u=T_u_new, T_i=T_i_new,
                            global_bias=pm.global_bias, n_factors=F)
 
+    if collision == "twin":
+        # Twin sampling: the item side samples its OWN (user, rating) per
+        # item from the item-major CSR, symmetric to the user side — every
+        # rated item takes one SGD step per iteration, exactly as every
+        # rating user does.  This replaces the election entirely: the step
+        # becomes scatter-free (dense passes + row gathers only), removing
+        # the I-proportional scatter-min that dominated the first_wins
+        # step (~36% at ML-20M scale) and the pmin collective in the
+        # sharded path.  A deliberate TPU-first semantic redesign of the
+        # reference's Hogwild race (sgd.cu:47-63): where first-wins DROPS
+        # colliding updates, twin gives every item exactly one update —
+        # no lost work, no bias toward low-priority users.  Sample streams
+        # are counter-based on (U_global + item id), disjoint from user
+        # streams and shard-invariant.
+        if dev.it_indptr is None:
+            raise ValueError("collision='twin' needs item-major arrays: "
+                             "build DeviceRatings with item_major=True")
+        s_uid, w_rat, has_i = sample_items(
+            key, iteration, dev.it_indptr, None, None,
+            user_offset=dev.n_users, pair_pack=dev.it_pair_pack)
+        w_rows = row_u32[s_uid]                            # (I, W) pre-step
+        T_i32 = T_i.astype(jnp.float32)
+        ihat_d = T_i32 * factor + biascol
+        uhat_w = w_rows * factor + biascol
+        pred_w = (pm.global_bias + jnp.sum(w_rows * ihat_d, axis=-1)
+                  + T_i32[:, F])
+        err_w = jnp.where(has_i, w_rat - pred_w, 0.0)
+        di = lr * (err_w[:, None] * uhat_w - reg_i * T_i32)
+        T_i_new = jnp.where(has_i[:, None], T_i32 + di, T_i32).astype(dt)
+        return PackedModel(T_u=T_u_new, T_i=T_i_new,
+                           global_bias=pm.global_bias, n_factors=F)
+
     uhat = row_u32 * factor + biascol
     di = lr * (err[:, None] * uhat - reg_i * row_i32)
     if collision == "mean":

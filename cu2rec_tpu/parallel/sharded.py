@@ -137,6 +137,60 @@ def shard_ratings(csr: CSRRatings, n_dp: int, n_ip: int = 1,
     )
 
 
+@dataclass
+class ShardedItemMajor:
+    """Item-major sampling structure sharded by item block over ip
+    (replicated over dp): per-shard rebased ``it_indptr`` (n_ip, I_loc+1)
+    and interleaved (user, rating) ``it_pair`` (n_ip, NNZp/64, 128) for
+    the twin-sampling step."""
+
+    it_indptr: object
+    it_pair: object
+
+
+_jtu.register_dataclass(ShardedItemMajor,
+                        data_fields=["it_indptr", "it_pair"],
+                        meta_fields=[])
+
+
+def shard_ratings_item_major(csr: CSRRatings, n_ip: int,
+                             mesh: Mesh | None = None) -> ShardedItemMajor:
+    """Stratify the item-major view into ip item-block shards."""
+    from cu2rec_tpu.data.csr import _interleave_pairs, transpose_csr
+    I_pad = _ceil_to(csr.n_items, n_ip)
+    I_loc = I_pad // n_ip
+    ip_host, it_users, it_vals = transpose_csr(csr)
+    indptr_full = np.zeros(I_pad + 1, dtype=np.int64)
+    indptr_full[:csr.n_items + 1] = ip_host
+    indptr_full[csr.n_items + 1:] = ip_host[-1]
+
+    locals_ = []
+    for d in range(n_ip):
+        lo_i, hi_i = d * I_loc, (d + 1) * I_loc
+        lo, hi = indptr_full[lo_i], indptr_full[hi_i]
+        locals_.append((
+            (indptr_full[lo_i:hi_i + 1] - lo).astype(np.int32),
+            it_users[lo:hi].astype(np.int32),
+            it_vals[lo:hi].astype(np.float32),
+        ))
+    nnz_loc = [len(x[1]) for x in locals_]
+    NNZ = _ceil_to(max(max(nnz_loc), 1), 64)
+    indptr = np.stack([x[0] for x in locals_])
+    pairs = np.stack([
+        _interleave_pairs(np.pad(x[1], (0, NNZ - len(x[1]))),
+                          np.pad(x[2].astype(np.float32),
+                                 (0, NNZ - len(x[2]))))
+        for x in locals_])
+
+    def put(x, spec):
+        if mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return ShardedItemMajor(it_indptr=put(indptr, P("ip", None)),
+                            it_pair=put(pairs, P("ip", None, None)))
+
+
 def pad_model(model: MFModel, U_pad: int, I_pad: int,
               mesh: Mesh | None = None) -> MFModel:
     """Zero-pad tables to sharding-divisible sizes and place them on the
@@ -165,7 +219,7 @@ def trim_model(model: MFModel, n_users: int, n_items: int) -> MFModel:
 
 def _local_step_packed(T_u_l, T_i_l, mu, indptr_l, indices_l, data_l,
                        hp: Hyper, key, iteration, n_users_global: int,
-                       n_factors: int,
+                       n_factors: int, it_indptr_l=None, it_pair_l=None,
                        *, train_items: bool, collision: str,
                        rotation: int = 250):
     """Body of one sharded SGD iteration over packed tables (runs inside
@@ -213,6 +267,27 @@ def _local_step_packed(T_u_l, T_i_l, mu, indptr_l, indices_l, data_l,
 
     if not train_items:
         return T_u_new, T_i_l
+
+    if collision == "twin":
+        # Item side samples its own (user, rating) per owned item (see
+        # ops/packed.py collision="twin").  Collectives: ONE psum over dp
+        # assembles the sampled users' pre-step rows — replacing the
+        # first_wins path's pmin election + win-mask psum + delta psum.
+        s_uid, w_rat, has_i = sample_items(
+            key, iteration, it_indptr_l, None, None,
+            user_offset=n_users_global + item_offset, pair_pack=it_pair_l)
+        own_u = (s_uid >= user_offset) & (s_uid < user_offset + U_loc)
+        loc_u = jnp.clip(s_uid - user_offset, 0, U_loc - 1)
+        w_rows = jax.lax.psum(
+            jnp.where(own_u[:, None], row_u[loc_u], 0.0), "dp")
+        T_i32 = T_i_l.astype(jnp.float32)
+        ihat_d = T_i32 * factor + biascol
+        uhat_w = w_rows * factor + biascol
+        pred_w = mu + jnp.sum(w_rows * ihat_d, axis=-1) + T_i32[:, F]
+        err_w = jnp.where(has_i, w_rat - pred_w, 0.0)
+        di = lr * (err_w[:, None] * uhat_w - reg_i * T_i32)
+        T_i_new = jnp.where(has_i[:, None], T_i32 + di, T_i32).astype(dt)
+        return T_u_new, T_i_new
 
     di = lr * (err[:, None] * uhat - reg_i * row_i)
     if collision == "first_wins":
@@ -319,6 +394,16 @@ class ShardedEngine:
         self.test_sh = shard_ratings(test_csr, self.n_dp, self.n_ip, mesh)
         self.U_pad = self.train_sh.n_users_padded
         self.I_pad = self.train_sh.n_items_padded
+        if cfg.collision_policy == "twin":
+            self.it_sh = shard_ratings_item_major(train_csr, self.n_ip, mesh)
+        else:  # tiny placeholders keep the program signature uniform
+            def put(x, spec):
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            self.it_sh = ShardedItemMajor(
+                it_indptr=put(np.zeros((self.n_ip, 2), np.int32),
+                              P("ip", None)),
+                it_pair=put(np.zeros((self.n_ip, 1, 128), np.int32),
+                            P("ip", None, None)))
         self._compiled_runs: dict = {}
         self._build_programs()
 
@@ -348,10 +433,12 @@ class ShardedEngine:
         model_specs = (P("dp", None), P("ip", None), P())
         ratings_specs = (P("dp", None), P("dp", None), P("dp", None),
                          P("dp", None), P("dp"))
+        it_specs = (P("ip", None), P("ip", None, None))
 
-        def steps_body(model_t, ratings_t, hp, key, start_iter, n_steps,
-                       train_items, collision):
+        def steps_body(model_t, ratings_t, it_t, hp, key, start_iter,
+                       n_steps, train_items, collision):
             indptr, indices, data, _row_ids, _nnz = (x[0] for x in ratings_t)
+            it_indptr, it_pair = (x[0] for x in it_t)
 
             def one(i, carry):
                 T_u_l, T_i_l, mu = carry
@@ -359,6 +446,7 @@ class ShardedEngine:
                 T_u_new, T_i_new = _local_step_packed(
                     T_u_l, T_i_l, mu, indptr, indices, data,
                     hp, key, it, n_users_global, n_factors,
+                    it_indptr, it_pair,
                     train_items=train_items, collision=collision)
                 return (T_u_new, T_i_new, mu)
 
@@ -366,15 +454,16 @@ class ShardedEngine:
 
         @partial(jax.jit, static_argnames=("train_items", "collision"),
                  donate_argnums=(0,))
-        def run(model_t, ratings_t, hp, key, start_iter, n_steps,
+        def run(model_t, ratings_t, it_t, hp, key, start_iter, n_steps,
                 train_items, collision):
             f = shard_map(
                 partial(steps_body, train_items=train_items,
                         collision=collision),
                 mesh=mesh,
-                in_specs=(model_specs, ratings_specs, P(), P(), P(), P()),
+                in_specs=(model_specs, ratings_specs, it_specs,
+                          P(), P(), P(), P()),
                 out_specs=model_specs)
-            return f(model_t, ratings_t, hp, key, start_iter,
+            return f(model_t, ratings_t, it_t, hp, key, start_iter,
                      jnp.asarray(n_steps, jnp.int32))
 
         self._run_jit = run
@@ -431,6 +520,7 @@ class ShardedEngine:
         if isinstance(state, MFModel):
             state = self.prepare(state)
         return self._run_jit(state, self._ratings_tuple(self.train_sh),
+                             (self.it_sh.it_indptr, self.it_sh.it_pair),
                              hp, self.key, jnp.int32(start_iter),
                              jnp.int32(n_steps), bool(self.cfg.is_train),
                              self.cfg.collision_policy)

@@ -117,7 +117,8 @@ class SingleChipEngine:
     def __init__(self, train_csr: CSRRatings, test_csr: CSRRatings,
                  cfg: Config, eval_chunk: int = 1 << 20,
                  packed: bool = True):
-        self.train_dev = to_device(train_csr)
+        self.train_dev = to_device(
+            train_csr, item_major=(cfg.collision_policy == "twin"))
         self.test_dev = to_device(test_csr)
         self.train_eval_dev = self.train_dev
         if cfg.train_eval_sample and train_csr.nnz > cfg.train_eval_sample:

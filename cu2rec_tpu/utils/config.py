@@ -68,7 +68,10 @@ class Config:
     # --- cu2rec_tpu extensions (no reference counterpart) ---
     # Item-update collision policy: "first_wins" reproduces the reference's
     # Hogwild first-writer-wins semantics deterministically (sgd.cu:47-63);
-    # "mean" averages all colliding updates (usually converges faster).
+    # "mean" averages all colliding updates (usually converges faster);
+    # "twin" replaces the election entirely — each item samples its own
+    # (user, rating) per iteration, making the step scatter-free (the
+    # fastest policy on TPU; see ops/packed.py).
     collision_policy: str = "first_wins"
     # Compute dtype for factor tables ("float32" or "bfloat16").
     dtype: str = "float32"

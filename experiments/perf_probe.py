@@ -57,7 +57,7 @@ def main() -> None:
 
     cfg = Config(n_factors=F, dtype=args.dtype,
                  collision_policy=args.collision)
-    dev = to_device(csr)
+    dev = to_device(csr, item_major=(args.collision == "twin"))
     model = init_model(U, I, F, 3.5, dtype=jnp.dtype(args.dtype))
     hp = Hyper.from_config(cfg)
     key = jax.random.PRNGKey(0)

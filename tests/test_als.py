@@ -105,3 +105,77 @@ def test_als_sharded_matches_single(toy_csr, toy_ratings):
     np.testing.assert_allclose(np.asarray(m2.P), np.asarray(m1.P), atol=1e-5)
     np.testing.assert_allclose(np.asarray(m2.Q), np.asarray(m1.Q), atol=1e-5)
     assert abs(l1[3] - l2[3]) < 1e-5
+
+
+def test_heavy_row_exact_gram():
+    """A degree-50K row (beyond the largest bucket cap) must be solved on
+    ALL its ratings via segmented Gram accumulation — exact vs a dense
+    NumPy ridge solve (round-1 truncated such rows to their last 8192)."""
+    from cu2rec_tpu.data.csr import CSRRatings
+    from cu2rec_tpu.ops.als import BUCKET_CAPS, als_half_sweep, bucket_csr
+
+    rng = np.random.default_rng(0)
+    F = 4
+    n_items = 60_000
+    deg0 = 50_000
+    items0 = np.sort(rng.choice(n_items, size=deg0, replace=False))
+    # second, light user keeps the regular path exercised too
+    items1 = np.arange(10, dtype=np.int64)
+    indices = np.concatenate([items0, items1]).astype(np.int32)
+    data = rng.uniform(1, 5, len(indices)).astype(np.float32)
+    indptr = np.array([0, deg0, deg0 + 10], dtype=np.int64)
+    csr = CSRRatings(indptr=indptr, indices=indices, data=data,
+                     n_users=2, n_items=n_items)
+
+    model = init_model(2, n_items, F, 3.5, seed=1)
+    pm = pack(model)
+    b = bucket_csr(csr.indptr, csr.indices, csr.data)
+    heavy = [x for x in b.buckets if "seg_start" in x]
+    assert len(heavy) == 1 and heavy[0]["row_ids"].tolist() == [0]
+    assert heavy[0]["mask"].sum() == deg0  # every rating kept
+    assert heavy[0]["cols"].shape[0] == -(-deg0 // BUCKET_CAPS[-1])
+
+    lam_f, lam_b = 0.3, 0.2
+    T_u = np.asarray(als_half_sweep(pm.T_u, pm.T_i, b, jnp.float32(3.5),
+                                    lam_f, lam_b, F,
+                                    weight_by_degree=False))
+    Q = np.asarray(model.Q, np.float64)
+    ib = np.asarray(model.item_bias, np.float64)
+    for u, (lo, hi) in enumerate([(0, deg0), (deg0, deg0 + 10)]):
+        X = np.concatenate([Q[indices[lo:hi]],
+                            np.ones((hi - lo, 1))], axis=1)
+        y = data[lo:hi].astype(np.float64) - 3.5 - ib[indices[lo:hi]]
+        lam = np.diag([lam_f] * F + [lam_b])
+        theta = np.linalg.solve(X.T @ X + lam, X.T @ y)
+        np.testing.assert_allclose(T_u[u, :F], theta[:F], rtol=2e-3)
+        np.testing.assert_allclose(T_u[u, F], theta[F], rtol=2e-3)
+
+
+def test_heavy_weighted_lambda():
+    """weight_by_degree must scale the ridge by the TRUE degree of a heavy
+    row, not the segment count or cap."""
+    from cu2rec_tpu.data.csr import CSRRatings
+    from cu2rec_tpu.ops.als import als_half_sweep, bucket_csr
+
+    rng = np.random.default_rng(1)
+    F = 3
+    deg0 = 9_000  # just past the 8192 cap → 2 segments
+    n_items = 10_000
+    items0 = np.sort(rng.choice(n_items, size=deg0, replace=False))
+    indices = items0.astype(np.int32)
+    data = rng.uniform(1, 5, deg0).astype(np.float32)
+    csr = CSRRatings(indptr=np.array([0, deg0], np.int64), indices=indices,
+                     data=data, n_users=1, n_items=n_items)
+    model = init_model(1, n_items, F, 3.5, seed=2)
+    pm = pack(model)
+    b = bucket_csr(csr.indptr, csr.indices, csr.data)
+    lam_f = 0.1
+    T_u = np.asarray(als_half_sweep(pm.T_u, pm.T_i, b, jnp.float32(3.5),
+                                    lam_f, lam_f, F, weight_by_degree=True))
+    Q = np.asarray(model.Q, np.float64)
+    ib = np.asarray(model.item_bias, np.float64)
+    X = np.concatenate([Q[indices], np.ones((deg0, 1))], axis=1)
+    y = data.astype(np.float64) - 3.5 - ib[indices]
+    lam = np.eye(F + 1) * lam_f * deg0
+    theta = np.linalg.solve(X.T @ X + lam, X.T @ y)
+    np.testing.assert_allclose(T_u[0, :F], theta[:F], rtol=2e-3)

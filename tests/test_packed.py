@@ -86,3 +86,72 @@ def test_packed_sum_policy_runs(toy_csr):
     out = packed_step(pack(model), dev, HP, jax.random.PRNGKey(0),
                       jnp.int32(0), collision="sum")
     assert np.isfinite(np.asarray(out.T_i)).all()
+
+
+def test_packed_twin_matches_numpy(toy_csr):
+    """Exact-value test of the twin-sampling step: the update arithmetic
+    recomputed in NumPy from the same sampled pairs must match bitwise-ish
+    (float32 assoc tolerance)."""
+    from cu2rec_tpu.ops.sgd import sample_items
+
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5556, seed=3)
+    dev = to_device(toy_csr, item_major=True)
+    key = jax.random.PRNGKey(11)
+    U, I = toy_csr.n_users, toy_csr.n_items
+    lr, preg, qreg, ubreg, ibreg = (float(x) for x in HP)
+
+    pm = pack(model)
+    out = packed_step(pm, dev, HP, key, jnp.int32(0), collision="twin")
+
+    # --- NumPy twin of the same iteration ---
+    items, ratings, has = (np.asarray(x) for x in sample_items(
+        key, jnp.int32(0), dev.indptr, dev.indices, dev.data,
+        pair_pack=dev.pair_pack))
+    s_uid, w_rat, has_i = (np.asarray(x) for x in sample_items(
+        key, jnp.int32(0), dev.it_indptr, None, None,
+        user_offset=U, pair_pack=dev.it_pair_pack))
+    P = np.asarray(model.P, np.float32)
+    Q = np.asarray(model.Q, np.float32)
+    ub = np.asarray(model.user_bias, np.float32)
+    ib = np.asarray(model.item_bias, np.float32)
+    mu = 3.5556
+    # user side: one sampled rating per user
+    pred_u = mu + ub + ib[items] + np.sum(P * Q[items], axis=1)
+    err_u = np.where(has, ratings - pred_u, 0.0)
+    P_new = np.where(has[:, None],
+                     P + lr * (err_u[:, None] * Q[items] - preg * P), P)
+    ub_new = np.where(has, ub + lr * (err_u - ubreg * ub), ub)
+    # item side: one sampled rater per item, against PRE-step tables
+    pred_i = mu + ub[s_uid] + ib + np.sum(P[s_uid] * Q, axis=1)
+    err_i = np.where(has_i, w_rat - pred_i, 0.0)
+    Q_new = np.where(has_i[:, None],
+                     Q + lr * (err_i[:, None] * P[s_uid] - qreg * Q), Q)
+    ib_new = np.where(has_i, ib + lr * (err_i - ibreg * ib), ib)
+
+    got = unpack(out)
+    np.testing.assert_allclose(np.asarray(got.P), P_new, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.Q), Q_new, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.user_bias), ub_new, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.item_bias), ib_new, atol=2e-6)
+
+
+def test_packed_twin_every_item_updates(toy_csr):
+    """Every rated item must take a step each iteration (the property
+    first_wins lacks: un-sampled items get no update there)."""
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5556, seed=3)
+    dev = to_device(toy_csr, item_major=True)
+    pm = pack(model)
+    out = packed_step(pm, dev, HP, jax.random.PRNGKey(0), jnp.int32(0),
+                      collision="twin")
+    it_deg = np.bincount(np.asarray(toy_csr.indices),
+                         minlength=toy_csr.n_items)
+    changed = np.any(np.asarray(out.T_i) != np.asarray(pm.T_i), axis=1)
+    np.testing.assert_array_equal(changed, it_deg > 0)
+
+
+def test_twin_requires_item_major(toy_csr):
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5, seed=3)
+    dev = to_device(toy_csr)  # no item_major
+    with pytest.raises(ValueError, match="item-major"):
+        packed_step(pack(model), dev, HP, jax.random.PRNGKey(0),
+                    jnp.int32(0), collision="twin")

@@ -238,3 +238,42 @@ def test_sharded_eval_with_smaller_test_split(toy_csr, cfg):
     rmse1, mae1 = eval_single(model, dev)
     np.testing.assert_allclose(rmse_s, rmse1, rtol=1e-5)
     np.testing.assert_allclose(mae_s, mae1, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n_dp,n_ip", [(2, 1), (4, 2), (1, 4)])
+def test_sharded_twin_matches_single_chip(toy_csr, cfg, n_dp, n_ip):
+    """Twin-sampling parity: sharded == single-chip packed, exactly."""
+    from cu2rec_tpu.ops.packed import pack, packed_run_steps, unpack
+    if not have_devices(n_dp * n_ip):
+        pytest.skip("not enough devices")
+    cfg.collision_policy = "twin"
+    gb = 3.5556
+    model0 = init_model(toy_csr.n_users, toy_csr.n_items, cfg.n_factors,
+                        gb, seed=cfg.seed)
+    model0b = init_model(toy_csr.n_users, toy_csr.n_items, cfg.n_factors,
+                         gb, seed=cfg.seed)
+    engine = ShardedEngine(toy_csr, toy_csr, cfg, mesh=make_mesh(n_dp, n_ip))
+    sharded = engine.finalize(engine.run(model0, HP, 0, 10))
+
+    dev = to_device(toy_csr, item_major=True)
+    pm = packed_run_steps(pack(model0b), dev, HP,
+                          jax.random.PRNGKey(cfg.seed), jnp.int32(0), 10,
+                          True, "twin")
+    single = unpack(pm)
+    np.testing.assert_allclose(np.asarray(sharded.P), np.asarray(single.P),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.Q), np.asarray(single.Q),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.user_bias),
+                               np.asarray(single.user_bias), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.item_bias),
+                               np.asarray(single.item_bias), atol=1e-6)
+
+
+def test_twin_end_to_end_train(toy_csr, toy_ratings):
+    cfg = Config(total_iterations=60, n_factors=4, learning_rate=0.05,
+                 check_error=30, collision_policy="twin")
+    model, losses = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
+                          logger=MetricsLogger(verbose=False))
+    assert losses[60] < losses[1]
+    assert np.isfinite(np.asarray(model.Q)).all()
