@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Headline benchmark for the driver: parallel-SGD training throughput on
-MovieLens-100K (the reference's checked-in sample dataset), real hardware.
+"""Headline benchmark for the driver: parallel-SGD training throughput at
+ML-20M scale (the compute-bound regime), real hardware.
 
 Metric: **user-updates per second** — one "iteration" performs one sampled
 SGD update per user (reference sgd.cu:26-37), so
 updates/s = n_users × iterations / wall_time.  This is the reference's own
 headline axis (its benchmark grid times `bin/mf` over iteration counts,
-experiments/cu2rec.sh:8-19).
+experiments/cu2rec.sh:8-19), measured at its ML-20M dataset scale
+(U=138K, I=27K, R=20M — planted-model synthetic, data/synth.py, since
+this environment has no network for the real file), with the validated
+fast policy (collision="twin"; quality-equivalent to first_wins on real
+ML-100K, see docs/RESULTS.md).
+
+ML-100K (the real checked-in dataset) with the reference-parity
+``first_wins`` policy is reported as a secondary line in ``detail`` —
+at 610 users it is dispatch-latency-bound through this environment's
+tunneled runtime and under-reports the machine by ~10×.
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
 the comparison point is the reference's own CPU-baseline protocol
-(`bin/mf_cpu`, mf_sequential.cu): the ratio reported here is TPU updates/s
-over the sequential-CPU twin's updates/s measured in the same run — i.e.
-the GPU-vs-CPU speedup axis of the original project, on our hardware.
+(`bin/mf_cpu`, mf_sequential.cu): TPU updates/s over the sequential-CPU
+twin's per-update rate measured in the same run (on ML-100K; the twin is
+scale-independent per update).
 """
 
 from __future__ import annotations
@@ -30,39 +39,55 @@ def main() -> None:
     import jax.numpy as jnp
 
     from cu2rec_tpu.data import build_csr, read_ratings_csv
-    from cu2rec_tpu.data.csr import to_device
+    from cu2rec_tpu.data.csr import csr_from_arrays, to_device
+    from cu2rec_tpu.data.synth import generate_planted
     from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.ops.packed import pack, packed_run_steps, unpack
     from cu2rec_tpu.ops.sgd import Hyper
     from cu2rec_tpu.utils.config import Config
+    from cu2rec_tpu.utils.timing import fetch_barrier
 
+    # ---- headline: ML-20M scale, F=100, twin policy ----
+    U, I, R, F = 138_000, 27_000, 20_000_000, 100
+    d = generate_planted(U, I, R, n_factors=20, noise=0.30, seed=0)
+    csr20 = csr_from_arrays(d.users, d.items, d.ratings, U, I)
+    cfg20 = Config(n_factors=F, collision_policy="twin")
+    hp20 = Hyper.from_config(cfg20)
+    key = jax.random.PRNGKey(cfg20.seed)
+    dev20 = to_device(csr20, item_major=True)
+    pm20 = pack(init_model(U, I, F, 3.6, seed=cfg20.seed))
+    pm20 = packed_run_steps(pm20, dev20, hp20, key, jnp.int32(0), 20, True,
+                            "twin")
+    fetch_barrier(pm20.T_u)
+    iters20 = 400
+    t0 = time.perf_counter()
+    pm20 = packed_run_steps(pm20, dev20, hp20, key, jnp.int32(20), iters20,
+                            True, "twin")
+    fetch_barrier(pm20.T_u)
+    dt20 = time.perf_counter() - t0
+    ml20m_ups = U * iters20 / dt20
+    del pm20, dev20
+
+    # ---- secondary: real ML-100K, reference-parity first_wins ----
     rd = read_ratings_csv("data/ml100k_ratings.csv")
     csr = build_csr(rd)
     cfg = Config(n_factors=50)  # reference default run config (config.h)
     hp = Hyper.from_config(cfg)
-    key = jax.random.PRNGKey(cfg.seed)
     dev = to_device(csr)
-
-    model = init_model(csr.n_users, csr.n_items, cfg.n_factors,
-                       rd.global_bias, seed=cfg.seed)
-
-    from cu2rec_tpu.ops.packed import pack, packed_run_steps, unpack
-    from cu2rec_tpu.utils.timing import fetch_barrier
-
-    pm = pack(model)
-    # Warmup / compile.
+    pm = pack(init_model(csr.n_users, csr.n_items, cfg.n_factors,
+                         rd.global_bias, seed=cfg.seed))
     pm = packed_run_steps(pm, dev, hp, key, jnp.int32(0), 50, True,
                           "first_wins")
     fetch_barrier(pm.T_u)
-
     iters = 2000
     t0 = time.perf_counter()
     pm = packed_run_steps(pm, dev, hp, key, jnp.int32(50), iters, True,
                           "first_wins")
     fetch_barrier(pm.T_u)
     dt = time.perf_counter() - t0
-    tpu_ups = csr.n_users * iters / dt
+    ml100k_ups = csr.n_users * iters / dt
 
-    # Sequential CPU twin (the mf_cpu protocol) on a slice of iterations.
+    # ---- reference CPU-baseline protocol (mf_sequential.cu twin) ----
     from cu2rec_tpu.train.reference import sequential_train
     cpu_cfg = Config(n_factors=50, total_iterations=3, check_error=10**9)
     t0 = time.perf_counter()
@@ -70,15 +95,13 @@ def main() -> None:
     cpu_dt = time.perf_counter() - t0
     cpu_ups = csr.n_users * cpu_cfg.total_iterations / cpu_dt
 
-    # Serving-path throughput: full-catalog MXU scoring + top-10
-    # (BASELINE.json config 5).
+    # ---- serving path: full-catalog MXU scoring + top-10 ----
     from cu2rec_tpu.serve.recommend import _topk_users
-    import jax.numpy as _jnp
     B = 512
     um = unpack(pm)
-    rated = _jnp.zeros((B, 1), dtype=_jnp.int32)
-    rmask = _jnp.zeros((B, 1), dtype=bool)
-    uids = _jnp.arange(B) % csr.n_users
+    rated = jnp.zeros((B, 1), dtype=jnp.int32)
+    rmask = jnp.zeros((B, 1), dtype=bool)
+    uids = jnp.arange(B) % csr.n_users
     s_out = _topk_users(um.P[uids], um.user_bias[uids], um.Q, um.item_bias,
                         um.global_bias, rated, rmask, 10)
     fetch_barrier(s_out[0])
@@ -91,18 +114,19 @@ def main() -> None:
     serve_qps = B * reps / (time.perf_counter() - t0)
 
     print(json.dumps({
-        "metric": "ml100k_sgd_user_updates_per_s",
-        "value": round(tpu_ups, 1),
+        "metric": "ml20m_scale_sgd_user_updates_per_s",
+        "value": round(ml20m_ups, 1),
         "unit": "updates/s",
-        "vs_baseline": round(tpu_ups / cpu_ups, 2),
+        "vs_baseline": round(ml20m_ups / cpu_ups, 2),
         "detail": {
             "backend": jax.default_backend(),
-            "n_users": csr.n_users,
-            "n_items": csr.n_items,
-            "nnz": csr.nnz,
-            "n_factors": cfg.n_factors,
-            "iterations_timed": iters,
-            "wall_s": round(dt, 4),
+            "headline": {
+                "n_users": U, "n_items": I, "nnz": R, "n_factors": F,
+                "collision": "twin", "iterations_timed": iters20,
+                "wall_s": round(dt20, 4),
+                "ms_per_step": round(dt20 / iters20 * 1e3, 3),
+            },
+            "ml100k_first_wins_updates_per_s": round(ml100k_ups, 1),
             "cpu_sequential_updates_per_s": round(cpu_ups, 1),
             "serving_top10_users_per_s": round(serve_qps, 1),
         },

@@ -23,6 +23,23 @@ Design stance (TPU-first, not a port):
     (the reference is single-GPU and has no distributed backend at all).
 """
 
+import os as _os
+
+# CU2REC_PLATFORM=cpu[:N] forces the JAX backend for the CLIs/harnesses.
+# Must run BEFORE the first `import jax` anywhere: TPU platform plugins
+# can override a later jax_platforms config update at import time, so the
+# env var and the config update are both applied here, at package import.
+_plat = _os.environ.get("CU2REC_PLATFORM")
+if _plat:
+    _name, _, _n = _plat.partition(":")
+    _os.environ["JAX_PLATFORMS"] = _name
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _name)
+    if _n:
+        _jax.config.update("jax_num_cpu_devices", int(_n))
+del _os, _plat
+
 from cu2rec_tpu.utils.config import Config
 from cu2rec_tpu.models.state import MFModel, init_model
 from cu2rec_tpu.train.trainer import train

@@ -1,0 +1,262 @@
+"""Sharded serving engine: batch user streams + batched fold-in over an
+item-sharded mesh — the reference's ``predict`` binary (predict.cu:103-132)
+re-imagined as a long-lived service over a device mesh.
+
+Design:
+  * the catalog lives ONCE, as the packed item table (factors+bias per
+    row, ops/packed.py) row-sharded over the mesh's ``ip`` axis — big
+    catalogs (≥1M items) split across chips;
+  * ``recommend`` scores a user batch against every shard's item block on
+    the MXU, local top-k, then an ``all_gather`` of n_ip×B×k candidates +
+    re-top-k (the merge the reference did with a CPU std::sort,
+    predict.cu:61);
+  * ``fold_in`` learns (p_row, user_bias) for a BATCH of new users
+    simultaneously against the frozen sharded catalog (is_train=false
+    semantics, sgd.cu:61,70): per iteration each user samples one of its
+    ratings (counter-based stream keyed by batch slot), the sampled item
+    rows are assembled with one (B, W) psum over ``ip``, and only the
+    user-side rows update;
+  * compiled programs are cached per padded (batch, list-width, k) shape —
+    stream batches of any size reuse a small set of programs.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cu2rec_tpu.models.state import MFModel
+from cu2rec_tpu.ops.packed import _reg_vectors, pack
+from cu2rec_tpu.ops.sgd import Hyper, counter_uniform
+from cu2rec_tpu.ops.topk import NEG_INF
+from cu2rec_tpu.utils.config import Config
+
+
+def _shard_map(mesh):
+    try:
+        from jax import shard_map as _sm
+        return partial(_sm, mesh=mesh, check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        return partial(_sm, mesh=mesh, check_rep=False)
+
+
+def _pow2_pad(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class ShardedServingEngine:
+    """Long-lived serving state over an item-sharded mesh."""
+
+    def __init__(self, model: MFModel, mesh: Mesh | None = None,
+                 devices=None):
+        if mesh is None:
+            devices = np.asarray(devices if devices is not None
+                                 else jax.devices())
+            mesh = Mesh(devices.reshape(-1), ("ip",))
+        self.mesh = mesh
+        self.n_ip = mesh.shape["ip"]
+        self.n_items = model.n_items
+        self.F = model.n_factors
+        self.mu = float(model.global_bias)
+        pm = pack(model)
+        self.W = pm.width
+        I_pad = -(-self.n_items // self.n_ip) * self.n_ip
+        T_i = jnp.pad(pm.T_i, ((0, I_pad - self.n_items), (0, 0)))
+        self.T_i = jax.device_put(
+            T_i, NamedSharding(mesh, P("ip", None)))
+        self.I_pad = I_pad
+        # known-user tables stay replicated (small relative to the catalog)
+        self.P = model.P
+        self.user_bias = model.user_bias
+        self._programs: dict = {}
+
+    # -- recommendation ---------------------------------------------------
+    def _recommend_program(self, B: int, R: int, k: int):
+        key = ("rec", B, R, k)
+        if key in self._programs:
+            return self._programs[key]
+        F, n_real = self.F, self.n_items
+        mesh = self.mesh
+
+        def body(p_rows, ub_rows, T_i_l, rated, rmask):
+            ip = jax.lax.axis_index("ip")
+            I_loc = T_i_l.shape[0]
+            offset = ip * I_loc
+            Q_l = T_i_l[:, :F].astype(jnp.float32)
+            ib_l = T_i_l[:, F].astype(jnp.float32)
+            scores = jnp.dot(p_rows.astype(jnp.float32), Q_l.T,
+                             preferred_element_type=jnp.float32)
+            scores = scores + self.mu + ub_rows[:, None] + ib_l[None, :]
+            gids = offset + jnp.arange(I_loc)
+            scores = jnp.where(gids[None, :] < n_real, scores, NEG_INF)
+            loc = rated - offset
+            in_shard = rmask & (loc >= 0) & (loc < I_loc)
+            cols = jnp.clip(loc, 0, I_loc - 1)
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], cols.shape)
+            scores = scores.at[rows, cols].min(
+                jnp.where(in_shard, NEG_INF, jnp.float32(3.0e38)))
+            k_loc = min(k, I_loc)
+            vals, idx = jax.lax.top_k(scores, k_loc)
+            idx = idx + offset
+            if k_loc < k:
+                vals = jnp.pad(vals, ((0, 0), (0, k - k_loc)),
+                               constant_values=NEG_INF)
+                idx = jnp.pad(idx, ((0, 0), (0, k - k_loc)))
+            vals_all = jax.lax.all_gather(vals, "ip", axis=1, tiled=True)
+            idx_all = jax.lax.all_gather(idx, "ip", axis=1, tiled=True)
+            mvals, mpos = jax.lax.top_k(vals_all, k)
+            midx = jnp.take_along_axis(idx_all, mpos, axis=1)
+            return mvals, midx
+
+        f = jax.jit(_shard_map(mesh)(
+            body,
+            in_specs=(P(), P(), P("ip", None), P(), P()),
+            out_specs=(P(), P())))
+        self._programs[key] = f
+        return f
+
+    def recommend(self, p_rows, ub_rows, rated_items, rated_mask,
+                  k: int = 10):
+        """Top-k unrated items for a batch given explicit user rows.
+
+        Shapes are padded to cached program signatures; surplus rows are
+        trimmed from the result.  Returns (scores (B,k), item ids (B,k))."""
+        B = int(np.shape(p_rows)[0])
+        Bp = _pow2_pad(B)
+        R = int(np.shape(rated_items)[1]) if np.ndim(rated_items) == 2 else 1
+        Rp = _pow2_pad(max(R, 1))
+        p_rows = jnp.pad(jnp.asarray(p_rows, jnp.float32),
+                         ((0, Bp - B), (0, 0)))
+        ub_rows = jnp.pad(jnp.asarray(ub_rows, jnp.float32), (0, Bp - B))
+        rated = jnp.pad(jnp.asarray(rated_items, jnp.int32),
+                        ((0, Bp - B), (0, Rp - R)))
+        rmask = jnp.pad(jnp.asarray(rated_mask, bool),
+                        ((0, Bp - B), (0, Rp - R)))
+        f = self._recommend_program(Bp, Rp, k)
+        vals, idx = f(p_rows, ub_rows, self.T_i, rated, rmask)
+        return vals[:B], idx[:B]
+
+    def recommend_known(self, user_ids, train_csr, k: int = 10):
+        """Top-k for existing users (rated-in-train items masked)."""
+        from cu2rec_tpu.serve.recommend import padded_user_lists
+        rated, rmask = padded_user_lists(train_csr, user_ids)
+        uids = jnp.asarray(user_ids)
+        return self.recommend(self.P[uids], self.user_bias[uids],
+                              rated, rmask, k=k)
+
+    # -- fold-in ----------------------------------------------------------
+    def _foldin_program(self, B: int, D: int):
+        key = ("fold", B, D)
+        if key in self._programs:
+            return self._programs[key]
+        F, W = self.F, self.W
+        mesh = self.mesh
+
+        def body(T_u, T_i_l, items, ratings, lens, hp, rkey, n_steps):
+            ip = jax.lax.axis_index("ip")
+            I_loc = T_i_l.shape[0]
+            offset = ip * I_loc
+            factor, biascol, reg_u, _reg_i = _reg_vectors(hp, F, W)
+            has = lens > 0
+            slots = jnp.arange(B, dtype=jnp.uint32)
+            lr = hp.learning_rate
+
+            def one(t, T_u):
+                u01 = counter_uniform(rkey, t, slots)
+                idx = jnp.minimum((u01 * lens).astype(jnp.int32),
+                                  jnp.maximum(lens - 1, 0))
+                it_b = jnp.take_along_axis(items, idx[:, None], 1)[:, 0]
+                rat_b = jnp.take_along_axis(ratings, idx[:, None], 1)[:, 0]
+                owned = (it_b >= offset) & (it_b < offset + I_loc)
+                loc = jnp.clip(it_b - offset, 0, I_loc - 1)
+                row_i = jax.lax.psum(
+                    jnp.where(owned[:, None],
+                              T_i_l[loc].astype(jnp.float32), 0.0), "ip")
+                row_u = T_u.astype(jnp.float32)
+                ihat = row_i * factor + biascol
+                pred = (self.mu + jnp.sum(row_u * ihat, axis=-1)
+                        + row_i[:, F])
+                err = jnp.where(has, rat_b - pred, 0.0)
+                du = lr * (err[:, None] * ihat - reg_u * row_u)
+                return jnp.where(has[:, None], row_u + du,
+                                 row_u).astype(T_u.dtype)
+
+            return jax.lax.fori_loop(0, n_steps, one, T_u)
+
+        f = jax.jit(_shard_map(mesh)(
+            body,
+            in_specs=(P(), P("ip", None), P(), P(), P(), P(), P(), P()),
+            out_specs=P()))
+        self._programs[key] = f
+        return f
+
+    def fold_in(self, rated_items, ratings, mask, cfg: Config | None = None,
+                key=None, init_rows=None):
+        """Batched fold-in: learn (p_row, user_bias) for B new users with
+        the sharded catalog frozen.  Returns (P_rows (B, F), ub (B,)).
+
+        Per-slot sample streams are counter-based on the batch slot, so a
+        batch of one reproduces the single-user path exactly.
+        ``init_rows=(P0 (B,F), ub0 (B,))`` overrides the seeded
+        Normal(0, 1/F) initialization (util.cu:124-132)."""
+        cfg = cfg or Config()
+        B, D = np.shape(rated_items)
+        Bp, Dp = _pow2_pad(B), _pow2_pad(D)
+        items = jnp.pad(jnp.asarray(rated_items, jnp.int32),
+                        ((0, Bp - B), (0, Dp - D)))
+        vals = jnp.pad(jnp.asarray(ratings, jnp.float32),
+                       ((0, Bp - B), (0, Dp - D)))
+        lens = jnp.pad(jnp.asarray(mask, jnp.int32).sum(axis=1),
+                       (0, Bp - B))
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        T_u0 = jnp.zeros((Bp, self.W), jnp.float32)
+        if init_rows is not None:
+            P0, ub0 = init_rows
+            init = jnp.concatenate(
+                [jnp.asarray(P0, jnp.float32),
+                 jnp.asarray(ub0, jnp.float32)[:, None]], axis=1)
+            init = jnp.pad(init, ((0, Bp - B), (0, 0)))
+        else:
+            init = jax.random.normal(key, (Bp, self.F + 1)) / self.F
+        T_u0 = T_u0.at[:, :self.F + 1].set(init)
+        hp = Hyper.from_config(cfg)
+        f = self._foldin_program(Bp, Dp)
+        T_u = f(T_u0, self.T_i, items, vals, lens, hp, key,
+                jnp.int32(cfg.total_iterations))
+        return T_u[:B, :self.F], T_u[:B, self.F]
+
+    def fold_in_and_recommend(self, rated_items, ratings, mask,
+                              cfg: Config | None = None, k: int = 10):
+        """The full predict-binary journey for a batch of new users."""
+        p_rows, ub = self.fold_in(rated_items, ratings, mask, cfg)
+        return self.recommend(p_rows, ub, rated_items, mask, k=k)
+
+    # -- benchmarking ------------------------------------------------------
+    def bench_qps(self, batch_size: int = 512, k: int = 10,
+                  n_batches: int = 20, seed: int = 0):
+        """Measured recommend throughput (users/s) on random user rows."""
+        from cu2rec_tpu.utils.timing import fetch_barrier
+        rng = np.random.default_rng(seed)
+        p = rng.normal(0, 1.0 / self.F,
+                       (batch_size, self.F)).astype(np.float32)
+        ub = rng.normal(0, 0.1, batch_size).astype(np.float32)
+        rated = rng.integers(0, self.n_items,
+                             (batch_size, 32)).astype(np.int32)
+        rmask = np.ones((batch_size, 32), bool)
+        vals, _ = self.recommend(p, ub, rated, rmask, k=k)  # compile
+        fetch_barrier(vals)
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            vals, _ = self.recommend(p, ub, rated, rmask, k=k)
+        fetch_barrier(vals)
+        dt = time.perf_counter() - t0
+        return batch_size * n_batches / dt

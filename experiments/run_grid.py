@@ -63,9 +63,12 @@ def run_cell(train_csv: str, test_csv: str, iters: int, factors: int,
     from cu2rec_tpu.utils.metrics import MetricsLogger
 
     train_rd = read_ratings_csv(train_csv)
-    train_csr = build_csr(train_rd)
     test_rd = read_ratings_csv(test_csv)
-    test_csr = build_csr(test_rd)
+    # Shared id space for the two splits (see cli/mf.py).
+    n_users = max(train_rd.n_users, test_rd.n_users)
+    n_items = max(train_rd.n_items, test_rd.n_items)
+    train_csr = build_csr(train_rd, n_users=n_users, n_items=n_items)
+    test_csr = build_csr(test_rd, n_users=n_users, n_items=n_items)
 
     cfg = Config(total_iterations=iters, n_factors=factors,
                  check_error=max(iters // 10, 1),
@@ -120,43 +123,45 @@ def run_cell(train_csv: str, test_csv: str, iters: int, factors: int,
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("dataset", help="ratings CSV (auto 90/10 split) or "
-                   "'train.csv:test.csv'")
+    p.add_argument("datasets", nargs="+",
+                   help="ratings CSVs (auto 90/10 split) or "
+                   "'train.csv:test.csv' pairs — the reference grid loops "
+                   "several datasets per invocation (cu2rec.sh:8)")
     p.add_argument("--iters", type=int, nargs="+",
                    default=[100, 500, 1000, 5000, 10000])
     p.add_argument("--factors", type=int, nargs="+", default=[50, 300])
     p.add_argument("--devices", type=int, default=0)
     p.add_argument("--collision", default="first_wins",
-                   choices=["first_wins", "mean", "sum"])
+                   choices=["first_wins", "mean", "sum", "twin"])
     p.add_argument("--recall-k", type=int, default=0)
     p.add_argument("--profile", action="store_true")
     p.add_argument("--results-dir", default="results")
     args = p.parse_args(argv)
 
-    if ":" in args.dataset:
-        train_csv, test_csv = args.dataset.split(":", 1)
-    else:
-        train_csv, test_csv = split_if_needed(args.dataset)
-
     os.makedirs(args.results_dir, exist_ok=True)
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
     out_path = os.path.join(args.results_dir,
                             f"grid-{stamp}-{git_commit()}.jsonl")
-    for factors in args.factors:
-        for iters in args.iters:
-            profile_dir = (os.path.join("profiles",
-                                        f"{stamp}-i{iters}-f{factors}")
-                           if args.profile else None)
-            rec = run_cell(train_csv, test_csv, iters, factors,
-                           args.devices, profile_dir,
-                           collision=args.collision,
-                           recall_k=args.recall_k)
-            with open(out_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            print(json.dumps({k: rec[k] for k in
-                              ("iterations", "factors", "wall_s",
-                               "updates_per_s", "final", "collision",
-                               "recall_at_k")}))
+    for dataset in args.datasets:
+        if ":" in dataset:
+            train_csv, test_csv = dataset.split(":", 1)
+        else:
+            train_csv, test_csv = split_if_needed(dataset)
+        for factors in args.factors:
+            for iters in args.iters:
+                profile_dir = (os.path.join("profiles",
+                                            f"{stamp}-i{iters}-f{factors}")
+                               if args.profile else None)
+                rec = run_cell(train_csv, test_csv, iters, factors,
+                               args.devices, profile_dir,
+                               collision=args.collision,
+                               recall_k=args.recall_k)
+                with open(out_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps({k: rec[k] for k in
+                                  ("train_csv", "iterations", "factors",
+                                   "wall_s", "updates_per_s", "final",
+                                   "collision", "recall_at_k")}))
     print(f"results → {out_path}")
     return 0
 

@@ -123,3 +123,77 @@ def test_recall_eval_runs(trained):
     model, _, toy_csr = trained
     r = recall_at_k_eval(model, toy_csr, toy_csr, k=3)
     assert 0.0 <= r <= 1.0
+
+
+def test_serving_engine_recommend_matches_single(trained):
+    """Sharded serving engine top-k == single-device recommend_users."""
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+    from cu2rec_tpu.serve.recommend import padded_user_lists
+    import jax
+
+    model, _, toy_csr = trained
+    users = [0, 2, 4]
+    rated, rmask = padded_user_lists(toy_csr, users)
+    svals, srecs = recommend_users(model, users, rated, rmask, k=3)
+
+    eng = ShardedServingEngine(model, devices=jax.devices()[:4])
+    dvals, drecs = eng.recommend_known(users, toy_csr, k=3)
+    dvals, drecs = np.asarray(dvals), np.asarray(drecs)
+    svals, srecs = np.asarray(svals), np.asarray(srecs)
+    for b in range(len(users)):
+        dv = [(v, i) for v, i in zip(dvals[b], drecs[b]) if v > -1e30]
+        sv = [(v, i) for v, i in zip(svals[b], srecs[b]) if v > -1e30]
+        for (v1, i1), (v2, i2) in zip(dv, sv):
+            np.testing.assert_allclose(v1, v2, rtol=1e-5)
+            assert i1 == i2
+
+
+def test_serving_engine_foldin_matches_single(trained):
+    """Batched sharded fold-in (B=1) == the single-user fold-in path."""
+    import jax
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    model, cfg, toy_csr = trained
+    rated = np.array([0, 2, 4], dtype=np.int32)
+    vals = np.array([5.0, 4.5, 5.0], dtype=np.float32)
+    fcfg = cfg.replace(total_iterations=50, cur_iterations=0,
+                       check_error=50, learning_rate=0.05)
+    ref_model, _ = fold_in_user(np.asarray(model.Q),
+                                np.asarray(model.item_bias),
+                                float(model.global_bias),
+                                rated, vals, fcfg)
+
+    eng = ShardedServingEngine(model, devices=jax.devices()[:4])
+    init0 = init_model(1, model.n_items, cfg.n_factors,
+                       float(model.global_bias), seed=fcfg.seed,
+                       Q=model.Q, item_bias=model.item_bias)
+    p_rows, ub = eng.fold_in(rated[None, :], vals[None, :],
+                             np.ones((1, 3), bool), fcfg,
+                             init_rows=(init0.P, init0.user_bias))
+    np.testing.assert_allclose(np.asarray(p_rows[0]),
+                               np.asarray(ref_model.P[0]), atol=1e-5)
+    np.testing.assert_allclose(float(ub[0]),
+                               float(ref_model.user_bias[0]), atol=1e-5)
+
+
+def test_serving_engine_foldin_batch(trained):
+    """A batch of new users folds in at once; users with identical lists
+    and identical slots... each slot gets its own stream, so two slots
+    with the same ratings may differ — but both must fit their ratings."""
+    import jax
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+    from cu2rec_tpu.utils.config import Config
+
+    model, cfg, toy_csr = trained
+    eng = ShardedServingEngine(model, devices=jax.devices()[:2])
+    rated = np.array([[0, 2, 4], [1, 3, 3]], dtype=np.int32)
+    vals = np.array([[5.0, 4.5, 5.0], [1.0, 1.5, 1.5]], dtype=np.float32)
+    mask = np.array([[True, True, True], [True, True, False]])
+    fcfg = Config(total_iterations=300, n_factors=cfg.n_factors,
+                  learning_rate=0.05, check_error=300)
+    svals, srecs = eng.fold_in_and_recommend(rated, vals, mask, fcfg, k=2)
+    assert np.asarray(srecs).shape == (2, 2)
+    # recommended items must exclude the rated ones
+    assert not set(np.asarray(srecs)[0]).intersection({0, 2, 4})
+    assert not set(np.asarray(srecs)[1]).intersection({1, 3})
