@@ -1,6 +1,6 @@
 """cu2rec_tpu — a TPU-native matrix-factorization recommender engine.
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of the CUDA
+A from-scratch TPU-native JAX/XLA framework with the capabilities of the CUDA
 library ``nickgreenquist/cu2rec`` (mounted read-only at /root/reference):
 biased matrix factorization  r̂(u,i) = μ + b_u + b_i + p_u · q_i
 (reference: matrix_factorization/util.cu:199-204) trained with massively

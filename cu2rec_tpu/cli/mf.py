@@ -7,7 +7,7 @@ Usage matches the reference binary (README.md:31):
 plus TPU-native extensions: ``--jsonl`` metrics stream, ``--checkpoint`` /
 ``--resume`` (real mid-run resume, unlike the reference's vestigial
 ``cur_iterations``), ``--devices N`` for a sharded mesh run, ``--collision``
-policy, ``--dtype``, ``--pallas``.
+policy, ``--dtype``.
 
 Output contract preserved: the five component CSVs are written next to the
 train file as ``{base}_f{factors}_{p,q,user_bias,item_bias,global_bias}.csv``
@@ -49,8 +49,6 @@ def build_parser():
                         "Hogwild parity; mean = average colliding updates; "
                         "twin = per-item sampling, scatter-free (fastest)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
-    p.add_argument("--pallas", action="store_true",
-                   help="use the fused Pallas SGD kernel")
     p.add_argument("--algo", choices=["sgd", "als"], default=None,
                    help="training algorithm (als: total_iterations = "
                         "number of ALS sweeps)")
@@ -98,8 +96,6 @@ def main(argv=None) -> int:
         cfg.collision_policy = args.collision
     if args.dtype:
         cfg.dtype = args.dtype
-    if args.pallas:
-        cfg.use_pallas = True
     if args.algo:
         cfg.algo = args.algo
     cfg.print_config()

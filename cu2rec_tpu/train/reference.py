@@ -4,7 +4,7 @@ Two twins:
 
 * :func:`reference_step` — the exact mathematical twin of
   ``cu2rec_tpu.ops.sgd.sgd_step`` given the *same* sampled batch: used by
-  the test suite to verify the jitted/Pallas/sharded paths to float
+  the test suite to verify the jitted/packed/sharded paths to float
   tolerance.  The reference CUDA code could not be tested this way — its
   races made exact values unreproducible (test_sgd.cu:132-133 only asserts
   "no NaNs"); determinism-by-construction is what makes this twin possible.

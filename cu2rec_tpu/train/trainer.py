@@ -133,12 +133,8 @@ class SingleChipEngine:
         self.cfg = cfg
         self.eval_chunk = eval_chunk
         self.key = jax.random.PRNGKey(cfg.seed)
-        # The Pallas path operates on packed tables too.
-        self.packed = packed or cfg.use_pallas
-        if cfg.use_pallas:
-            from cu2rec_tpu.ops.sgd_pallas import pallas_run_steps
-            self._runner = pallas_run_steps
-        elif self.packed:
+        self.packed = packed
+        if self.packed:
             from cu2rec_tpu.ops.packed import packed_run_steps
             self._runner = packed_run_steps
         else:

@@ -75,8 +75,6 @@ class Config:
     collision_policy: str = "first_wins"
     # Compute dtype for factor tables ("float32" or "bfloat16").
     dtype: str = "float32"
-    # Use the fused Pallas SGD kernel when running on TPU.
-    use_pallas: bool = False
     # Training algorithm: "sgd" (the reference's sampled parallel SGD) or
     # "als" (alternating least squares; total_iterations = sweeps).
     algo: str = "sgd"

@@ -30,7 +30,6 @@ def main() -> None:
     p.add_argument("--dtype", default="float32")
     p.add_argument("--collision", default="first_wins")
     p.add_argument("--eval", action="store_true", help="also time eval")
-    p.add_argument("--pallas", action="store_true")
     p.add_argument("--packed", action="store_true")
     args = p.parse_args()
 
@@ -63,10 +62,7 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     runner = run_steps
-    if args.pallas:
-        from cu2rec_tpu.ops.sgd_pallas import pallas_run_steps
-        runner = pallas_run_steps
-    elif args.packed:
+    if args.packed:
         from cu2rec_tpu.ops.packed import pack, packed_run_steps, unpack
         pm = pack(model)
 
