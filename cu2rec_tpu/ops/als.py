@@ -50,33 +50,28 @@ class BucketedRows:
     n_rows: int
 
 
-def bucket_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
-               caps=BUCKET_CAPS) -> BucketedRows:
-    n_rows = len(indptr) - 1
-    nnz = len(indices)
+def bucket_meta(indptr: np.ndarray, caps=BUCKET_CAPS) -> list[dict]:
+    """Bucket SELECTION metadata only — which rows land in which capacity
+    bucket and which flat-CSR slice each padded row covers.  Touches only
+    ``indptr`` (tiny), so the actual (cols, vals) extraction can happen
+    either host-side (:func:`bucket_csr`) or on-device from the already
+    uploaded CSR arrays (:func:`prepare_chunks_device`) without shipping a
+    multi-GB bucket expansion over the host↔device link.
+
+    Regular bucket dict: row_ids (B,), starts (B,), lens (B,), cap.
+    Heavy bucket adds seg_start/seg_end (H,) into its segment axis and the
+    true deg (H,); its starts/lens are per-SEGMENT.
+    """
     indptr = np.asarray(indptr, dtype=np.int64)
     deg = np.diff(indptr)
-
-    def extract(starts, lens, cap):
-        """Vectorized padded-slice extraction (no per-row Python loop)."""
-        j = np.arange(cap, dtype=np.int64)[None, :]
-        mask = j < lens[:, None]
-        pos = np.clip(starts[:, None] + j, 0, max(nnz - 1, 0))
-        cols = np.where(mask, indices[pos], 0).astype(np.int32)
-        vals = np.where(mask, data[pos], 0).astype(np.float32)
-        return cols, vals, mask
-
-    buckets = []
+    metas = []
     for bi, cap in enumerate(caps):
         lo = caps[bi - 1] if bi else 0
         sel = np.nonzero((deg > lo) & (deg <= cap))[0]
         if len(sel) == 0:
             continue
-        cols, vals, mask = extract(indptr[sel], deg[sel], cap)
-        buckets.append({"row_ids": sel.astype(np.int32), "cols": cols,
-                        "vals": vals, "mask": mask})
-
-    # Heavy tail: exact segmented extraction (every rating kept).
+        metas.append(dict(row_ids=sel.astype(np.int32), starts=indptr[sel],
+                          lens=deg[sel], cap=cap))
     cap = caps[-1]
     sel = np.nonzero(deg > cap)[0]
     if len(sel):
@@ -88,12 +83,37 @@ def bucket_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         segidx = np.arange(seg_end[-1]) - seg_start[owner]    # j within row
         sstarts = indptr[sel][owner] + segidx * cap
         slens = np.minimum(indptr[sel + 1][owner] - sstarts, cap)
-        cols, vals, mask = extract(sstarts, slens, cap)
-        buckets.append({"row_ids": sel.astype(np.int32), "cols": cols,
-                        "vals": vals, "mask": mask,
-                        "seg_start": seg_start.astype(np.int32),
-                        "seg_end": seg_end.astype(np.int32),
-                        "deg": d.astype(np.float32)})
+        metas.append(dict(row_ids=sel.astype(np.int32), starts=sstarts,
+                          lens=slens, cap=cap,
+                          seg_start=seg_start.astype(np.int32),
+                          seg_end=seg_end.astype(np.int32),
+                          deg=d.astype(np.float32)))
+    return metas
+
+
+def bucket_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+               caps=BUCKET_CAPS) -> BucketedRows:
+    n_rows = len(indptr) - 1
+    nnz = len(indices)
+
+    def extract(starts, lens, cap):
+        """Vectorized padded-slice extraction (no per-row Python loop)."""
+        j = np.arange(cap, dtype=np.int64)[None, :]
+        mask = j < lens[:, None]
+        pos = np.clip(starts[:, None] + j, 0, max(nnz - 1, 0))
+        cols = np.where(mask, indices[pos], 0).astype(np.int32)
+        vals = np.where(mask, data[pos], 0).astype(np.float32)
+        return cols, vals, mask
+
+    buckets = []
+    for m in bucket_meta(indptr, caps):
+        cols, vals, mask = extract(m["starts"], m["lens"], m["cap"])
+        b = {"row_ids": m["row_ids"], "cols": cols, "vals": vals,
+             "mask": mask}
+        if "seg_start" in m:
+            b.update(seg_start=m["seg_start"], seg_end=m["seg_end"],
+                     deg=m["deg"])
+        buckets.append(b)
     return BucketedRows(buckets=buckets, n_rows=n_rows)
 
 
@@ -172,6 +192,106 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
                           width=H_pad),
                 pad_chunk(b["deg"], lo, hi, fill=1.0, sharded=False,
                           width=H_pad),
+            ))
+    return chunks
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _extract_rows_device(flat_i, flat_d, starts, lens, cap: int):
+    """Padded-slice extraction ON DEVICE: (B, cap) cols/vals/mask from the
+    flat CSR arrays via per-row contiguous dynamic slices.  ``flat_*``
+    must be padded by ≥cap so no slice clamps."""
+
+    def one(s):
+        return (jax.lax.dynamic_slice(flat_i, (s,), (cap,)),
+                jax.lax.dynamic_slice(flat_d, (s,), (cap,)))
+
+    cols, vals = jax.vmap(one)(starts)
+    mask = jnp.arange(cap, dtype=jnp.int32)[None, :] < lens[:, None]
+    return (jnp.where(mask, cols, 0), jnp.where(mask, vals, 0.0), mask)
+
+
+def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
+                          n_rows_total: int, nnz: int, caps=BUCKET_CAPS,
+                          budget: int = 64 << 20, row_sharding=None):
+    """Device-side bucket build: same chunk contract as
+    :func:`prepare_chunks`, but (cols, vals) are EXTRACTED ON DEVICE from
+    the already-uploaded flat CSR arrays — only tiny (starts, lens)
+    vectors cross the host↔device boundary, instead of the multi-GB
+    padded bucket expansion (which made Netflix-scale ALS impractical
+    through slow host links; docs/ROADMAP.md r1 known limits)."""
+    F1 = n_factors + 1
+    cap_max = caps[-1]
+    flat_i = jnp.pad(jnp.asarray(indices_dev[:nnz], jnp.int32), (0, cap_max))
+    flat_d = jnp.pad(jnp.asarray(data_dev[:nnz], jnp.float32), (0, cap_max))
+
+    def put(x):
+        if row_sharding is not None:
+            return jax.device_put(x, row_sharding)
+        return x
+
+    chunks = []
+    for m in bucket_meta(indptr_host, caps):
+        cap = int(m["cap"])
+        B = len(m["starts"])
+        heavy = "seg_start" in m
+        chunk = max(1, min(B, budget // max(cap * F1, 1)))
+        if row_sharding is not None and not heavy:
+            n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
+            chunk = max(n_dev, (chunk // n_dev) * n_dev)
+
+        def padded(x, s, e, fill=0, width=None):
+            width = chunk if width is None else width
+            out = np.asarray(x[s:e])
+            if e - s < width:
+                out = np.pad(out, (0, width - (e - s)),
+                             constant_values=fill)
+            return out
+
+        if not heavy:
+            for s in range(0, B, chunk):
+                e = min(s + chunk, B)
+                starts = jnp.asarray(padded(m["starts"], s, e),
+                                     jnp.int32)
+                lens = jnp.asarray(padded(m["lens"], s, e), jnp.int32)
+                cols, vals, mask = _extract_rows_device(flat_i, flat_d,
+                                                        starts, lens, cap)
+                chunks.append(("reg", put(cols), put(vals), put(mask),
+                               jnp.asarray(padded(m["row_ids"], s, e,
+                                                  fill=n_rows_total),
+                                           jnp.int32)))
+            continue
+
+        seg_start, seg_end = m["seg_start"], m["seg_end"]
+        H = len(m["row_ids"])
+        chunk = max(chunk, int((seg_end - seg_start).max()))
+        groups = []
+        lo = 0
+        while lo < H:
+            hi = lo
+            while hi < H and seg_end[hi] - seg_start[lo] <= chunk:
+                hi += 1
+            hi = max(hi, lo + 1)
+            groups.append((lo, hi))
+            lo = hi
+        H_pad = max(hi - lo for lo, hi in groups)
+        for lo, hi in groups:
+            s0, s1 = int(seg_start[lo]), int(seg_end[hi - 1])
+            starts = jnp.asarray(padded(m["starts"], s0, s1), jnp.int32)
+            lens = jnp.asarray(padded(m["lens"], s0, s1), jnp.int32)
+            cols, vals, mask = _extract_rows_device(flat_i, flat_d,
+                                                    starts, lens, cap)
+            chunks.append((
+                "heavy", cols, vals, mask,
+                jnp.asarray(padded(m["row_ids"], lo, hi,
+                                   fill=n_rows_total, width=H_pad),
+                            jnp.int32),
+                jnp.asarray(padded(seg_start - s0, lo, hi, width=H_pad),
+                            jnp.int32),
+                jnp.asarray(padded(seg_end - s0, lo, hi, width=H_pad),
+                            jnp.int32),
+                jnp.asarray(padded(m["deg"], lo, hi, fill=1.0,
+                                   width=H_pad), jnp.float32),
             ))
     return chunks
 

@@ -28,7 +28,8 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
               model: MFModel | None = None,
               logger: MetricsLogger | None = None,
               weight_by_degree: bool = True,
-              mesh=None):
+              mesh=None,
+              device_buckets: bool | None = None):
     """Train by ALS for ``cfg.total_iterations`` sweeps.
 
     Returns (model, losses) like the SGD trainer.  With ``mesh`` (any
@@ -37,6 +38,11 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     mesh's first axis with the counterpart table replicated, and XLA's
     SPMD partitioner splits the gram einsums and Cholesky batches — ALS
     needs no custom collectives at all (each row's solve is independent).
+
+    ``device_buckets`` (auto: on above 5M ratings) extracts the padded
+    degree-bucket slices ON DEVICE from the flat CSR arrays instead of
+    uploading the multi-GB host-side bucket expansion — the fix for the
+    r1 Netflix-scale upload bottleneck (docs/ROADMAP.md known limits).
     """
     logger = logger or MetricsLogger()
     if model is None:
@@ -53,16 +59,28 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         axis = mesh.axis_names[0]
         row_sharding = NamedSharding(mesh, PartitionSpec(axis))
 
-    from cu2rec_tpu.ops.als import prepare_chunks
-    user_buckets = prepare_chunks(
-        bucket_csr(train_csr.indptr, train_csr.indices, train_csr.data),
-        F, train_csr.n_users, row_sharding)
-    it_indptr, it_rows, it_vals = transpose_csr(train_csr)
-    item_buckets = prepare_chunks(bucket_csr(it_indptr, it_rows, it_vals),
-                                  F, train_csr.n_items, row_sharding)
-
     train_dev = to_device(train_csr)
     test_dev = to_device(test_csr)
+
+    if device_buckets is None:
+        device_buckets = train_csr.nnz > 5_000_000
+    it_indptr, it_rows, it_vals = transpose_csr(train_csr)
+    if device_buckets:
+        from cu2rec_tpu.ops.als import prepare_chunks_device
+        user_buckets = prepare_chunks_device(
+            train_dev.indices, train_dev.data, train_csr.indptr, F,
+            train_csr.n_users, train_csr.nnz, row_sharding=row_sharding)
+        item_buckets = prepare_chunks_device(
+            jnp.asarray(it_rows), jnp.asarray(it_vals), it_indptr, F,
+            train_csr.n_items, train_csr.nnz, row_sharding=row_sharding)
+    else:
+        from cu2rec_tpu.ops.als import prepare_chunks
+        user_buckets = prepare_chunks(
+            bucket_csr(train_csr.indptr, train_csr.indices, train_csr.data),
+            F, train_csr.n_users, row_sharding)
+        item_buckets = prepare_chunks(
+            bucket_csr(it_indptr, it_rows, it_vals),
+            F, train_csr.n_items, row_sharding)
 
     losses: dict[int, float] = {}
     n_sweeps = cfg.total_iterations

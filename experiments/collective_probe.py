@@ -121,11 +121,13 @@ def collective_costs(I=27_000, U_loc=17_250, W=128, n_dp=8):
 
     @jax.jit
     def do_a2a(x):
+        # local block (1, n_dp, cap, W+2) → [0] → (n_dp, cap, W+2);
+        # tiled all_to_all over dim 0 keeps rank 3.
         return shard_map(
             lambda l: jax.lax.all_to_all(l[0], "dp", split_axis=0,
                                          concat_axis=0, tiled=True),
             mesh=mesh, in_specs=(P("dp", None, None, None),),
-            out_specs=P("dp", None, None, None))(x)
+            out_specs=P("dp", None, None))(x)
 
     rows = []
     for name, fn, arg, nbytes in [

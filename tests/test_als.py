@@ -179,3 +179,73 @@ def test_heavy_weighted_lambda():
     lam = np.eye(F + 1) * lam_f * deg0
     theta = np.linalg.solve(X.T @ X + lam, X.T @ y)
     np.testing.assert_allclose(T_u[0, :F], theta[:F], rtol=2e-3)
+
+
+def test_device_chunks_match_host(toy_csr):
+    """prepare_chunks_device must produce identical chunk contents to the
+    host-side prepare_chunks (same bucket_meta drives both)."""
+    import jax.numpy as jnp
+    from cu2rec_tpu.data.csr import to_device
+    from cu2rec_tpu.ops.als import (
+        bucket_csr, prepare_chunks, prepare_chunks_device,
+    )
+
+    F = 3
+    host = prepare_chunks(
+        bucket_csr(toy_csr.indptr, toy_csr.indices, toy_csr.data),
+        F, toy_csr.n_users)
+    dev = to_device(toy_csr)
+    devc = prepare_chunks_device(dev.indices, dev.data, toy_csr.indptr,
+                                 F, toy_csr.n_users, toy_csr.nnz)
+    assert len(host) == len(devc)
+    for h, d in zip(host, devc):
+        assert h[0] == d[0]
+        for a, b in zip(h[1:], d[1:]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_chunks_match_host_heavy():
+    """Device extraction parity including the heavy segmented bucket."""
+    from cu2rec_tpu.data.csr import CSRRatings, to_device
+    from cu2rec_tpu.ops.als import (
+        bucket_csr, prepare_chunks, prepare_chunks_device,
+    )
+
+    rng = np.random.default_rng(3)
+    deg0 = 9_500  # heavy (2 segments)
+    n_items = 12_000
+    items0 = np.sort(rng.choice(n_items, deg0, replace=False))
+    items1 = np.arange(7)
+    indices = np.concatenate([items0, items1]).astype(np.int32)
+    data = rng.uniform(1, 5, len(indices)).astype(np.float32)
+    csr = CSRRatings(indptr=np.array([0, deg0, deg0 + 7], np.int64),
+                     indices=indices, data=data, n_users=2, n_items=n_items)
+    F = 4
+    host = prepare_chunks(bucket_csr(csr.indptr, csr.indices, csr.data),
+                          F, csr.n_users)
+    dev = to_device(csr)
+    devc = prepare_chunks_device(dev.indices, dev.data, csr.indptr, F,
+                                 csr.n_users, csr.nnz)
+    assert len(host) == len(devc)
+    kinds = [c[0] for c in devc]
+    assert "heavy" in kinds
+    for h, d in zip(host, devc):
+        assert h[0] == d[0]
+        for a, b in zip(h[1:], d[1:]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_als_device_buckets_matches_host(toy_csr, toy_ratings):
+    """Full ALS run with device-extracted buckets == host-extracted."""
+    kw = dict(total_iterations=2, n_factors=3, P_reg=0.05, Q_reg=0.05,
+              user_bias_reg=0.05, item_bias_reg=0.05)
+    m1, l1 = train_als(toy_csr, toy_csr, Config(**kw),
+                       toy_ratings.global_bias, logger=quiet(),
+                       device_buckets=False)
+    m2, l2 = train_als(toy_csr, toy_csr, Config(**kw),
+                       toy_ratings.global_bias, logger=quiet(),
+                       device_buckets=True)
+    np.testing.assert_allclose(np.asarray(m1.P), np.asarray(m2.P),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1.Q), np.asarray(m2.Q),
+                               atol=1e-6)
