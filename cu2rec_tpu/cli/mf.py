@@ -49,9 +49,12 @@ def build_parser():
                         "Hogwild parity; mean = average colliding updates; "
                         "twin = per-item sampling, scatter-free (fastest)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
-    p.add_argument("--algo", choices=["sgd", "als"], default=None,
-                   help="training algorithm (als: total_iterations = "
-                        "number of ALS sweeps)")
+    p.add_argument("--algo", choices=["sgd", "als", "ials"], default=None,
+                   help="training algorithm (als/ials: total_iterations = "
+                        "number of sweeps; ials = implicit-feedback "
+                        "weighted MF, evaluated by recall@10)")
+    p.add_argument("--alpha", type=float, default=40.0,
+                   help="iALS confidence slope (c = 1 + alpha*r)")
     p.add_argument("--outdir", default=None,
                    help="component output dir (default: next to train csv)")
     return p
@@ -102,7 +105,16 @@ def main(argv=None) -> int:
 
     logger = MetricsLogger(jsonl_path=args.jsonl)
 
-    if cfg.algo == "als":
+    if cfg.algo == "ials":
+        mesh = None
+        if args.devices and args.devices > 1:
+            from cu2rec_tpu.parallel.sharded import make_mesh
+            mesh = make_mesh(args.devices)
+        from cu2rec_tpu.train.ials import train_ials
+        model, _losses = train_ials(train_csr, test_csr, cfg,
+                                    alpha=args.alpha, model=model,
+                                    logger=logger, mesh=mesh)
+    elif cfg.algo == "als":
         # ALS shards its batched ridge solves over a mesh directly — no
         # ShardedEngine needed (each row's solve is independent).
         mesh = None

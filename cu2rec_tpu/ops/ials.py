@@ -1,0 +1,94 @@
+"""Implicit-feedback ALS (iALS) — the Hu/Koren/Volinsky (2008) weighted
+matrix factorization, a model family beyond the reference's explicit MF
+(the natural production companion: most recommender deployments are
+implicit).
+
+Model: preference p_ui = 1 for every observed (u, i), confidence
+c_ui = 1 + α·r_ui; each half-sweep solves, per user,
+
+    ( QᵀQ + Qᵀ(C_u − I)Q + λI ) x_u = Qᵀ C_u p_u = Σ_{i∈S_u} c_ui q_i
+
+The **Gramian trick** makes this TPU-gold: QᵀQ is ONE (I, F)ᵀ(I, F)
+matmul on the MXU shared by all users, and the per-user correction
+Σ (c_ui − 1) q_i q_iᵀ touches only the user's rated items — reusing the
+same degree-bucketed, padded rating slices as explicit ALS
+(cu2rec_tpu.ops.als.prepare_chunks / prepare_chunks_device), including
+the exact segmented heavy-tail path.  Solves ride the batch-vectorized
+blocked Cholesky (ops/batched_linalg).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cu2rec_tpu.ops.als import _ridge_finish
+
+
+def gramian(T: jax.Array) -> jax.Array:
+    """G = TᵀT in float32 on the MXU."""
+    T32 = T.astype(jnp.float32)
+    return jnp.einsum("if,ig->fg", T32, T32,
+                      preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("solver",))
+def _solve_ials_bucket(T_other, G_global, cols, vals, mask, alpha, reg,
+                       solver: str = "blocked"):
+    q = T_other[cols].astype(jnp.float32)            # (B, D, F)
+    m = mask.astype(jnp.float32)
+    w = alpha * vals * m                              # c − 1, masked
+    G = G_global[None] + jnp.einsum("bdf,bdg->bfg", q * w[..., None], q,
+                                    preferred_element_type=jnp.float32)
+    rhs = jnp.einsum("bdf,bd->bf", q, (1.0 + alpha * vals) * m,
+                     preferred_element_type=jnp.float32)
+    F = G.shape[-1]
+    G = G + jnp.eye(F)[None] * reg
+    return _ridge_finish(G, rhs, solver)
+
+
+@partial(jax.jit, static_argnames=("solver",))
+def _solve_ials_heavy(T_other, G_global, cols, vals, mask, seg_start,
+                      seg_end, alpha, reg, solver: str = "blocked"):
+    """Exact iALS solve for ultra-heavy rows: per-segment corrections
+    accumulated via prefix-sum differences (see ops/als._solve_heavy)."""
+    q = T_other[cols].astype(jnp.float32)            # (S, D, F)
+    m = mask.astype(jnp.float32)
+    w = alpha * vals * m
+    Gseg = jnp.einsum("sdf,sdg->sfg", q * w[..., None], q,
+                      preferred_element_type=jnp.float32)
+    rseg = jnp.einsum("sdf,sd->sf", q, (1.0 + alpha * vals) * m,
+                      preferred_element_type=jnp.float32)
+    F = Gseg.shape[-1]
+    Gz = jnp.concatenate([jnp.zeros((1, F, F), jnp.float32),
+                          jnp.cumsum(Gseg, axis=0)], axis=0)
+    rz = jnp.concatenate([jnp.zeros((1, F), jnp.float32),
+                          jnp.cumsum(rseg, axis=0)], axis=0)
+    G = G_global[None] + (Gz[seg_end] - Gz[seg_start])
+    rhs = rz[seg_end] - rz[seg_start]
+    G = G + jnp.eye(F)[None] * reg
+    return _ridge_finish(G, rhs, solver)
+
+
+def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
+                    solver: str = "blocked"):
+    """Update every row of ``T_self`` (plain (N, F) factors) given frozen
+    ``T_other``, from prepared rating-slice ``chunks`` (same contract as
+    explicit ALS: ops/als.prepare_chunks[_device])."""
+    G = gramian(T_other)
+    a = jnp.float32(alpha)
+    r = jnp.float32(reg)
+    T_new = T_self
+    for ch in chunks:
+        if ch[0] == "reg":
+            _, cols, vals, mask, rows = ch
+            theta = _solve_ials_bucket(T_other, G, cols, vals, mask, a, r,
+                                       solver=solver)
+        else:
+            _, cols, vals, mask, rows, s0, s1, _deg = ch
+            theta = _solve_ials_heavy(T_other, G, cols, vals, mask, s0, s1,
+                                      a, r, solver=solver)
+        T_new = T_new.at[rows].set(theta.astype(T_self.dtype), mode="drop")
+    return T_new

@@ -75,8 +75,9 @@ class Config:
     collision_policy: str = "first_wins"
     # Compute dtype for factor tables ("float32" or "bfloat16").
     dtype: str = "float32"
-    # Training algorithm: "sgd" (the reference's sampled parallel SGD) or
-    # "als" (alternating least squares; total_iterations = sweeps).
+    # Training algorithm: "sgd" (the reference's sampled parallel SGD),
+    # "als" (alternating least squares; total_iterations = sweeps), or
+    # "ials" (implicit-feedback weighted MF, Hu/Koren/Volinsky).
     algo: str = "sgd"
     # If > 0, evaluate the TRAIN-split RMSE/MAE on a random subsample of at
     # most this many ratings (the reference evaluates the full train set
