@@ -51,6 +51,7 @@ def main() -> int:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--reg", type=float, default=0.02)
     p.add_argument("--train-eval-sample", type=int, default=2_000_000)
+    p.add_argument("--test-eval-sample", type=int, default=0)
     p.add_argument("--skip-gen", action="store_true",
                    help="reuse existing files in workdir")
     p.add_argument("--tag", default="")
@@ -73,11 +74,15 @@ def main() -> int:
         t_gen = t_split = 0.0
     floor = json.load(open(raw + ".meta.json"))["noise_floor"]
 
-    cfg_path = os.path.join(workdir, "train.cfg")
+    cfg_path = os.path.join(workdir, "train.cfg.json")
     with open(cfg_path, "w") as f:
-        f.write(f"0 {args.iterations} {args.factors} {args.lr} 42 "
-                f"{args.reg} {args.reg} {args.reg} {args.reg} "
-                f"32 {args.check_error} 2 0.2\n")
+        json.dump(dict(cur_iterations=0, total_iterations=args.iterations,
+                       n_factors=args.factors, learning_rate=args.lr,
+                       seed=42, P_reg=args.reg, Q_reg=args.reg,
+                       user_bias_reg=args.reg, item_bias_reg=args.reg,
+                       check_error=args.check_error,
+                       train_eval_sample=args.train_eval_sample,
+                       test_eval_sample=args.test_eval_sample), f)
 
     date = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
     jsonl = os.path.join(ROOT, "results",
