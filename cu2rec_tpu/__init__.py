@@ -44,6 +44,7 @@ from cu2rec_tpu.utils.config import Config
 from cu2rec_tpu.models.state import MFModel, init_model
 from cu2rec_tpu.train.trainer import train
 from cu2rec_tpu.train.als import train_als
+from cu2rec_tpu.train.bpr import train_bpr
 from cu2rec_tpu.train.ials import train_ials
 from cu2rec_tpu.data.ratings import read_ratings_csv
 from cu2rec_tpu.data.csr import build_csr, CSRRatings
@@ -56,6 +57,7 @@ __all__ = [
     "init_model",
     "train",
     "train_als",
+    "train_bpr",
     "train_ials",
     "read_ratings_csv",
     "build_csr",

@@ -49,10 +49,12 @@ def build_parser():
                         "Hogwild parity; mean = average colliding updates; "
                         "twin = per-item sampling, scatter-free (fastest)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
-    p.add_argument("--algo", choices=["sgd", "als", "ials"], default=None,
+    p.add_argument("--algo", choices=["sgd", "als", "ials", "bpr"],
+                   default=None,
                    help="training algorithm (als/ials: total_iterations = "
                         "number of sweeps; ials = implicit-feedback "
-                        "weighted MF, evaluated by recall@10)")
+                        "weighted MF and bpr = pairwise ranking, both "
+                        "evaluated by recall@10)")
     p.add_argument("--alpha", type=float, default=40.0,
                    help="iALS confidence slope (c = 1 + alpha*r)")
     p.add_argument("--outdir", default=None,
@@ -105,7 +107,13 @@ def main(argv=None) -> int:
 
     logger = MetricsLogger(jsonl_path=args.jsonl)
 
-    if cfg.algo == "ials":
+    if cfg.algo == "bpr":
+        if args.devices and args.devices > 1:
+            raise SystemExit("--algo bpr does not support --devices yet")
+        from cu2rec_tpu.train.bpr import train_bpr
+        model, _losses = train_bpr(train_csr, test_csr, cfg, model=model,
+                                   logger=logger)
+    elif cfg.algo == "ials":
         mesh = None
         if args.devices and args.devices > 1:
             from cu2rec_tpu.parallel.sharded import make_mesh

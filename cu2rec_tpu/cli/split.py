@@ -36,8 +36,21 @@ def main(argv=None) -> int:
         rd = read_ratings_csv(args.file_ratings)
         tr, te = split_arrays(rd.users, rd.items, rd.ratings,
                               1 - args.test_ratio, seed=args.seed)
-        native_write_ratings(f"{filepath}_train{extension}", *tr)
-        native_write_ratings(f"{filepath}_test{extension}", *te)
+
+        def write(path, users, items, ratings):
+            try:
+                native_write_ratings(path, users, items, ratings)
+            except RuntimeError:
+                # native lib unavailable — slower NumPy fallback, same
+                # 1-based-file contract as the native writer.
+                with open(path, "w") as f:
+                    f.write("userId,itemId,rating\n")
+                    np.savetxt(f, np.column_stack(
+                        [users + 1, items + 1, ratings]),
+                        fmt="%d,%d,%.6g")
+
+        write(f"{filepath}_train{extension}", *tr)
+        write(f"{filepath}_test{extension}", *te)
         return 0
 
     rows = read_rating_rows(args.file_ratings)
