@@ -46,7 +46,7 @@ def main() -> int:
     p.add_argument("--check-error", type=int, default=500)
     p.add_argument("--noise", type=float, default=0.30)
     p.add_argument("--planted-factors", type=int, default=20)
-    p.add_argument("--algo", default="sgd", choices=["sgd", "als"])
+    p.add_argument("--algo", default="sgd", choices=["sgd", "als", "bpr"])
     p.add_argument("--collision", default="twin")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--reg", type=float, default=0.02)
