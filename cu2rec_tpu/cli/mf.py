@@ -108,11 +108,10 @@ def main(argv=None) -> int:
     logger = MetricsLogger(jsonl_path=args.jsonl)
 
     if cfg.algo == "bpr":
-        if args.devices and args.devices > 1:
-            raise SystemExit("--algo bpr does not support --devices yet")
         from cu2rec_tpu.train.bpr import train_bpr
         model, _losses = train_bpr(train_csr, test_csr, cfg, model=model,
-                                   logger=logger)
+                                   logger=logger,
+                                   n_devices=args.devices or 0)
     elif cfg.algo == "ials":
         mesh = None
         if args.devices and args.devices > 1:
@@ -147,6 +146,7 @@ def main(argv=None) -> int:
 
     # Component export next to the train file (mf.cu:63-87).
     outdir = args.outdir or (os.path.dirname(args.train_csv) or ".")
+    os.makedirs(outdir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.train_csv))[0]
     paths = export_components(model, outdir, base, cfg.n_factors)
     for p in paths:

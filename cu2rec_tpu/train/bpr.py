@@ -32,12 +32,15 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
               model: MFModel | None = None,
               logger: MetricsLogger | None = None,
               recall_k: int = 10,
-              recall_users: int = 2048):
+              recall_users: int = 2048,
+              mesh=None, n_devices: int = 0):
     """Train BPR-MF for ``cfg.total_iterations`` iterations.
 
     One iteration = one pairwise update per user row + one positive and
     one negative update per item row (ops/bpr.py).  ``cfg.learning_rate``
-    and the four reg fields apply as in the pointwise trainer.
+    and the four reg fields apply as in the pointwise trainer.  With
+    ``mesh``/``n_devices`` the user axis shards over dp (bit-identical
+    updates — parallel/bpr.py).
     """
     logger = logger or MetricsLogger()
     F = cfg.n_factors
@@ -50,10 +53,17 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
                         user_bias=jnp.zeros_like(model.user_bias),
                         item_bias=jnp.zeros_like(model.item_bias),
                         global_bias=jnp.float32(0.0))
-    dev = to_device(train_csr, item_major=True)
-    pm = pack(model)
     hp = Hyper.from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)
+
+    engine = None
+    if mesh is not None or (n_devices and n_devices > 1):
+        from cu2rec_tpu.parallel.bpr import ShardedBPR
+        engine = ShardedBPR(train_csr, cfg, n_devices=n_devices or None,
+                            mesh=mesh, model=model)
+    else:
+        dev = to_device(train_csr, item_major=True)
+        pm = pack(model)
 
     check = max(1, cfg.check_error)
     points = sorted({1, *range(check, cfg.total_iterations + 1, check),
@@ -65,13 +75,17 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         seg = point - done
         if seg > 0:
             t0 = time.perf_counter()
-            pm = bpr_run_steps(pm, dev, hp, key, done, seg)
-            fetch_barrier(pm.T_u)
+            if engine is not None:
+                engine.run(hp, key, done, seg)
+                fetch_barrier(engine.T_u)
+            else:
+                pm = bpr_run_steps(pm, dev, hp, key, done, seg)
+                fetch_barrier(pm.T_u)
             dt_seg = time.perf_counter() - t0
         else:
             dt_seg = 0.0
         done = point
-        m = unpack(pm)
+        m = engine.model() if engine is not None else unpack(pm)
         auc = auc_eval(m, train_csr, test_csr, seed=cfg.seed)
         from cu2rec_tpu.serve.recommend import recall_at_k_eval
         rec = recall_at_k_eval(m, train_csr, test_csr, k=recall_k,
@@ -87,4 +101,4 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         cfg.cur_iterations = point
 
     logger.log_time(cfg.total_iterations, time.perf_counter() - start)
-    return unpack(pm), losses
+    return (engine.model() if engine is not None else unpack(pm)), losses

@@ -161,3 +161,47 @@ def test_bpr_cli(tmp_path, data_dir):
         check=True)
     assert "BPR iteration 50" in out.stdout
     assert (tmp_path / "test_ratings_f4_q.csv").exists()
+
+
+def test_bpr_sharded_matches_single():
+    """dp-sharded BPR == single-device, bit-identical, incl. a user count
+    that does not divide the shard count (the election-modulus regression
+    class from round 1)."""
+    import jax as _jax
+
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.parallel.bpr import ShardedBPR
+
+    rng = np.random.default_rng(11)
+    U, I, per = 11, 9, 4  # 11 % 2 != 0, 11 % 4 != 0
+    users = np.repeat(np.arange(U, dtype=np.int32), per)
+    items = rng.integers(0, I, size=len(users)).astype(np.int32)
+    data = rng.uniform(1, 5, len(users)).astype(np.float32)
+    csr = csr_from_arrays(users, items, data, U, I, use_native=False)
+
+    cfg = Config()
+    cfg.n_factors = 5
+    cfg.learning_rate = 0.05
+    cfg.P_reg = cfg.Q_reg = cfg.user_bias_reg = cfg.item_bias_reg = 0.01
+    hp = _hyper(cfg.learning_rate, 0.01)
+    key = jax.random.PRNGKey(cfg.seed)
+    n_steps = 20
+
+    from cu2rec_tpu.ops.bpr import bpr_run_steps
+    dev = to_device(csr, item_major=True)
+    model = init_model(U, I, cfg.n_factors, 0.0, seed=cfg.seed)
+    model = MFModel(P=model.P, Q=model.Q,
+                    user_bias=jnp.zeros(U), item_bias=jnp.zeros(I),
+                    global_bias=jnp.float32(0.0))
+    ref = unpack(bpr_run_steps(pack(model), dev, hp, key, 0, n_steps))
+
+    for n_dp in (2, 4):
+        eng = ShardedBPR(csr, cfg, n_devices=n_dp, model=model)
+        eng.run(hp, key, 0, n_steps)
+        got = eng.model()
+        np.testing.assert_array_equal(np.asarray(got.P),
+                                      np.asarray(ref.P))
+        np.testing.assert_array_equal(np.asarray(got.Q),
+                                      np.asarray(ref.Q))
+        np.testing.assert_array_equal(np.asarray(got.item_bias),
+                                      np.asarray(ref.item_bias))
