@@ -22,3 +22,8 @@ timeout 5400 python experiments/run_planted.py --preset ml20m \
 timeout 5400 python experiments/run_planted.py --preset ml20m \
   --iterations 2000 --factors 50 --algo bpr --lr 0.05 --reg 0.002 \
   --check-error 500 --skip-gen --tag=-bpr
+
+# 5. diagnostic: Netflix ALS with lighter ridge (the 0.1 cell's curve was
+#    flat at 0.57; ML-100K's optimum need not transfer across degree scales)
+timeout 7200 python experiments/run_planted.py --preset netflix \
+  --iterations 5 --factors 50 --algo als --reg 0.02 --skip-gen --tag=-als-r002
