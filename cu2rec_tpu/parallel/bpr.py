@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cu2rec_tpu.data.csr import CSRRatings, _interleave_pairs, transpose_csr
 from cu2rec_tpu.models.state import MFModel, init_model
 from cu2rec_tpu.ops.bpr import _uniform_ids
-from cu2rec_tpu.ops.packed import _reg_vectors, pack, packed_width, unpack
+from cu2rec_tpu.ops.packed import _reg_vectors, pack, unpack
 from cu2rec_tpu.ops.sgd import Hyper, counter_uniform, sample_items
 from cu2rec_tpu.parallel.sharded import shard_ratings, _ceil_to
 from cu2rec_tpu.utils.config import Config

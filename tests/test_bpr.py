@@ -30,7 +30,7 @@ def test_bpr_step_matches_numpy(toy_csr):
     (u, i⁺, j⁻) triples for each of the three passes."""
     from cu2rec_tpu.ops.bpr import _uniform_ids
     from cu2rec_tpu.ops.sgd import (
-        counter_uniform, fetch_pairs, gather_1d, sample_items,
+        counter_uniform, sample_items,
     )
 
     F, lr, reg = 3, 0.05, 0.01
@@ -167,8 +167,6 @@ def test_bpr_sharded_matches_single():
     """dp-sharded BPR == single-device, bit-identical, incl. a user count
     that does not divide the shard count (the election-modulus regression
     class from round 1)."""
-    import jax as _jax
-
     from cu2rec_tpu.data.csr import csr_from_arrays
     from cu2rec_tpu.parallel.bpr import ShardedBPR
 
