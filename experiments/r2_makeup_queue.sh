@@ -14,9 +14,12 @@ timeout 5400 python experiments/run_planted.py --preset ml20m \
   --iterations 5000 --factors 50 --collision first_wins --skip-gen \
   --tag=-fw
 
-# 3. planted ML-20M: ALS, 10 sweeps, ALS-appropriate reg
+# 3. planted ML-20M: ALS, 6 sweeps.  reg=0.02, NOT the ML-100K optimum
+# 0.1: on planted data 0.1 over-regularizes (CPU sweep: 0.02 reaches
+# 0.341 vs floor 0.30 in 3 sweeps; 0.1 crawls 0.58->0.43 in 6 — the
+# exact flat-curve pattern the first Netflix ALS cell showed)
 timeout 5400 python experiments/run_planted.py --preset ml20m \
-  --iterations 10 --factors 50 --algo als --reg 0.1 --skip-gen --tag=-als
+  --iterations 6 --factors 50 --algo als --reg 0.02 --skip-gen --tag=-als
 
 # 4. planted ML-20M: BPR ranking, 2000 iters (implicit-task metrics)
 timeout 5400 python experiments/run_planted.py --preset ml20m \
