@@ -40,7 +40,9 @@ def main(argv=None) -> int:
         def write(path, users, items, ratings):
             try:
                 native_write_ratings(path, users, items, ratings)
-            except RuntimeError:
+            except (RuntimeError, OSError, AttributeError):
+                # RuntimeError: lib unavailable; AttributeError: stale .so
+                # without cu2rec_write_ratings; OSError: write failure.
                 # native lib unavailable — slower NumPy fallback, same
                 # 1-based-file contract as the native writer.
                 with open(path, "w") as f:

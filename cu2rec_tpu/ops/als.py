@@ -256,10 +256,13 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
                 lens = jnp.asarray(padded(m["lens"], s, e), jnp.int32)
                 cols, vals, mask = _extract_rows_device(flat_i, flat_d,
                                                         starts, lens, cap)
+                # row_ids placed like cols/vals/mask (the host path shards
+                # them too): a replicated scatter index against sharded
+                # theta would force a per-chunk reshard every sweep.
                 chunks.append(("reg", put(cols), put(vals), put(mask),
-                               jnp.asarray(padded(m["row_ids"], s, e,
-                                                  fill=n_rows_total),
-                                           jnp.int32)))
+                               put(jnp.asarray(padded(m["row_ids"], s, e,
+                                                      fill=n_rows_total),
+                                               jnp.int32))))
             continue
 
         seg_start, seg_end = m["seg_start"], m["seg_end"]

@@ -173,12 +173,8 @@ class ShardedBPR:
         mesh = self.mesh
         U, I, F = self.n_users, self.n_items, self.n_factors
 
-        try:
-            from jax import shard_map as _sm
-            shard_map = partial(_sm, check_vma=False)
-        except (ImportError, TypeError):
-            from jax.experimental.shard_map import shard_map as _sm
-            shard_map = partial(_sm, check_rep=False)
+        from cu2rec_tpu.parallel.sharded import shard_map_compat
+        shard_map = shard_map_compat()
 
         model_specs = (P("dp", None), P(), P())
         ratings_specs = (P("dp", None), P("dp", None), P("dp", None))

@@ -20,12 +20,8 @@ from cu2rec_tpu.ops.topk import NEG_INF
 
 
 def _shard_map(mesh):
-    try:
-        from jax import shard_map as _sm
-        return partial(_sm, mesh=mesh, check_vma=False)
-    except (ImportError, TypeError):
-        from jax.experimental.shard_map import shard_map as _sm
-        return partial(_sm, mesh=mesh, check_rep=False)
+    from cu2rec_tpu.parallel.sharded import shard_map_compat
+    return shard_map_compat(mesh)
 
 
 def distributed_topk(mesh: Mesh, p_rows, ub_rows, Q, item_bias, global_bias,

@@ -59,6 +59,20 @@ def make_mesh(n_dp: int, n_ip: int = 1, devices=None) -> Mesh:
     return Mesh(devices[:n_dp * n_ip].reshape(n_dp, n_ip), ("dp", "ip"))
 
 
+def shard_map_compat(mesh=None):
+    """``jax.shard_map`` across JAX versions (new ``check_vma`` kw vs the
+    experimental module's ``check_rep``), replication checking off: the
+    engines' outputs are replicated by psum construction, which the
+    checker cannot always prove.  With ``mesh`` the kwarg is pre-bound."""
+    try:
+        from jax import shard_map as _sm
+        f = partial(_sm, check_vma=False)
+    except (ImportError, TypeError):  # older JAX
+        from jax.experimental.shard_map import shard_map as _sm
+        f = partial(_sm, check_rep=False)
+    return partial(f, mesh=mesh) if mesh is not None else f
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -421,12 +435,7 @@ class ShardedEngine:
         eval_chunk = self.eval_chunk
         n_factors = self.cfg.n_factors
 
-        try:
-            from jax import shard_map as _sm
-            shard_map = partial(_sm, check_vma=False)
-        except (ImportError, TypeError):  # older JAX
-            from jax.experimental.shard_map import shard_map as _sm
-            shard_map = partial(_sm, check_rep=False)
+        shard_map = shard_map_compat()
 
         # Pytrees of arrays are passed to shard_map as flat tuples to keep
         # in_specs simple and independent of dataclass metadata.

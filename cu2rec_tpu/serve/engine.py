@@ -38,12 +38,8 @@ from cu2rec_tpu.utils.config import Config
 
 
 def _shard_map(mesh):
-    try:
-        from jax import shard_map as _sm
-        return partial(_sm, mesh=mesh, check_vma=False)
-    except (ImportError, TypeError):
-        from jax.experimental.shard_map import shard_map as _sm
-        return partial(_sm, mesh=mesh, check_rep=False)
+    from cu2rec_tpu.parallel.sharded import shard_map_compat
+    return shard_map_compat(mesh)
 
 
 def _pow2_pad(n: int, lo: int = 8) -> int:
@@ -211,11 +207,21 @@ class ShardedServingEngine:
         cfg = cfg or Config()
         B, D = np.shape(rated_items)
         Bp, Dp = _pow2_pad(B), _pow2_pad(D)
-        items = jnp.pad(jnp.asarray(rated_items, jnp.int32),
+        # Compact each row's VALID entries to the front (stable): the
+        # sampler draws positions 0..len-1, so a hole in the mask must not
+        # leave a masked entry inside the sampled prefix (or push a valid
+        # one out of it).
+        m = np.asarray(mask, bool)
+        order = np.argsort(~m, axis=1, kind="stable")
+        rated_c = np.take_along_axis(np.asarray(rated_items, np.int32),
+                                     order, axis=1)
+        ratings_c = np.take_along_axis(np.asarray(ratings, np.float32),
+                                       order, axis=1)
+        items = jnp.pad(jnp.asarray(rated_c),
                         ((0, Bp - B), (0, Dp - D)))
-        vals = jnp.pad(jnp.asarray(ratings, jnp.float32),
+        vals = jnp.pad(jnp.asarray(ratings_c),
                        ((0, Bp - B), (0, Dp - D)))
-        lens = jnp.pad(jnp.asarray(mask, jnp.int32).sum(axis=1),
+        lens = jnp.pad(jnp.asarray(m.sum(axis=1), jnp.int32),
                        (0, Bp - B))
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         T_u0 = jnp.zeros((Bp, self.W), jnp.float32)

@@ -85,7 +85,8 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     losses: dict[int, float] = {}
     n_sweeps = cfg.total_iterations
     start = time.perf_counter()
-    for sweep in range(1, n_sweeps + 1):
+    # Resume skips completed sweeps (cur_iterations counts sweeps here).
+    for sweep in range(min(cfg.cur_iterations, n_sweeps) + 1, n_sweeps + 1):
         T_u = als_half_sweep(pm.T_u, pm.T_i, user_buckets, mu,
                              cfg.P_reg, cfg.user_bias_reg, F,
                              weight_by_degree=weight_by_degree,

@@ -66,10 +66,14 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         pm = pack(model)
 
     check = max(1, cfg.check_error)
-    points = sorted({1, *range(check, cfg.total_iterations + 1, check),
-                     cfg.total_iterations})
+    # Resume skips completed work: only iterations past cur_iterations run
+    # (same contract as the SGD trainer's eval_segments).
+    start_at = min(cfg.cur_iterations, cfg.total_iterations)
+    points = sorted({p for p in
+                     {1, *range(check, cfg.total_iterations + 1, check),
+                      cfg.total_iterations} if p > start_at})
     losses: dict[int, float] = {}
-    done = 0
+    done = start_at
     start = time.perf_counter()
     for point in points:
         seg = point - done

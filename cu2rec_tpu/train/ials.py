@@ -80,7 +80,9 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
 
     losses: dict[int, float] = {}
     start = time.perf_counter()
-    for sweep in range(1, cfg.total_iterations + 1):
+    # Resume skips completed sweeps (cur_iterations counts sweeps here).
+    for sweep in range(min(cfg.cur_iterations, cfg.total_iterations) + 1,
+                       cfg.total_iterations + 1):
         X = ials_half_sweep(X, Y, user_chunks, alpha, cfg.P_reg)
         Y = ials_half_sweep(Y, X, item_chunks, alpha, cfg.Q_reg)
         from cu2rec_tpu.serve.recommend import recall_at_k_eval

@@ -223,15 +223,16 @@ def train_with_engine(engine, cfg: Config, model: MFModel,
     validation_rmse = float("inf")
     losses: dict[int, float] = {}
 
-    if warmup:
-        _warmup(engine, cfg, model)
     total = cfg.total_iterations
     start_iter = cfg.cur_iterations
     if start_iter >= total and start_iter > 0:
-        # Nothing left to train (resume of a completed run).
+        # Nothing left to train (resume of a completed run) — return
+        # before paying warmup's compiles + two full evals.
         model = engine.finalize(model)
         logger.log_time(0, 0.0)
         return model, losses
+    if warmup:
+        _warmup(engine, cfg, model)
     start_time = time.perf_counter()
     for n_steps, eval_iter in eval_segments(total, cfg.check_error,
                                             start=start_iter):

@@ -20,16 +20,9 @@ def enable_compile_cache() -> None:
         return
     import jax
 
-    # CU2REC_PLATFORM=cpu[:N] forces the backend for the CLIs/harnesses.
-    # (A plain JAX_PLATFORMS env var does not work under TPU platform
-    # plugins that override it at import time; this config update wins.)
-    plat = os.environ.get("CU2REC_PLATFORM")
-    if plat:
-        name, _, n = plat.partition(":")
-        jax.config.update("jax_platforms", name)
-        if n:
-            jax.config.update("jax_num_cpu_devices", int(n))
-
+    # (CU2REC_PLATFORM=cpu[:N] backend forcing happens once, at package
+    # import — cu2rec_tpu/__init__.py — which importing this module
+    # already triggered; no second copy here.)
     cache_dir = os.environ.get(
         "CU2REC_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "cu2rec_tpu",

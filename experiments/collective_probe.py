@@ -91,12 +91,8 @@ def collective_costs(I=27_000, U_loc=17_250, W=128, n_dp=8):
     from functools import partial
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    try:
-        from jax import shard_map as _sm
-        shard_map = partial(_sm, check_vma=False)
-    except (ImportError, TypeError):
-        from jax.experimental.shard_map import shard_map as _sm
-        shard_map = partial(_sm, check_rep=False)
+    from cu2rec_tpu.parallel.sharded import shard_map_compat
+    shard_map = shard_map_compat()
 
     mesh = Mesh(np.asarray(jax.devices()[:n_dp]), ("dp",))
     I_pad = -(-I // 128) * 128

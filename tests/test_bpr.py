@@ -203,3 +203,32 @@ def test_bpr_sharded_matches_single():
                                       np.asarray(ref.Q))
         np.testing.assert_array_equal(np.asarray(got.item_bias),
                                       np.asarray(ref.item_bias))
+
+
+def test_resume_skips_completed_work(toy_csr):
+    """cur_iterations>0 trains only the remainder — for BPR, ALS and
+    iALS (regression: resume re-ran all iterations/sweeps from 0)."""
+    from cu2rec_tpu.train.als import train_als
+    from cu2rec_tpu.train.bpr import train_bpr
+    from cu2rec_tpu.train.ials import train_ials
+
+    cfg = Config()
+    cfg.total_iterations = 40
+    cfg.check_error = 20
+    cfg.n_factors = 4
+    cfg.cur_iterations = 20
+    _, losses = train_bpr(toy_csr, toy_csr, cfg,
+                          logger=MetricsLogger(verbose=False))
+    assert losses and min(losses) > 20 and max(losses) == 40
+
+    cfg = Config(total_iterations=4, check_error=1, n_factors=4)
+    cfg.cur_iterations = 2
+    _, losses = train_als(toy_csr, toy_csr, cfg, 3.0,
+                          logger=MetricsLogger(verbose=False))
+    assert sorted(losses) == [3, 4]
+
+    cfg = Config(total_iterations=3, check_error=1, n_factors=4)
+    cfg.cur_iterations = 3
+    _, losses = train_ials(toy_csr, toy_csr, cfg,
+                           logger=MetricsLogger(verbose=False))
+    assert losses == {}

@@ -197,3 +197,36 @@ def test_serving_engine_foldin_batch(trained):
     # recommended items must exclude the rated ones
     assert not set(np.asarray(srecs)[0]).intersection({0, 2, 4})
     assert not set(np.asarray(srecs)[1]).intersection({1, 3})
+
+
+def test_serving_engine_foldin_holey_mask(trained):
+    """A hole in the mask must neither train on the masked entry nor hide
+    valid entries after it: fold_in([i0, GARBAGE, i2], mask=[T,F,T]) ==
+    fold_in([i0, i2], mask=[T,T]) (regression: lens-only sampling read
+    positions 0..len-1 of the UNcompacted list)."""
+    import jax
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    model, cfg, toy_csr = trained
+    fcfg = cfg.replace(total_iterations=40, cur_iterations=0,
+                       check_error=40, learning_rate=0.05)
+    eng = ShardedServingEngine(model, devices=jax.devices()[:2])
+    init0 = init_model(1, model.n_items, cfg.n_factors,
+                       float(model.global_bias), seed=fcfg.seed,
+                       Q=model.Q, item_bias=model.item_bias)
+    init = (init0.P, init0.user_bias)
+
+    holey = eng.fold_in(np.array([[0, 3, 4]], np.int32),
+                        np.array([[5.0, -77.0, 4.0]], np.float32),
+                        np.array([[True, False, True]]), fcfg,
+                        init_rows=init)
+    # same valid entries, compact, padded at the END (masked)
+    compact = eng.fold_in(np.array([[0, 4, 1]], np.int32),
+                          np.array([[5.0, 4.0, -77.0]], np.float32),
+                          np.array([[True, True, False]]), fcfg,
+                          init_rows=init)
+    np.testing.assert_allclose(np.asarray(holey[0]),
+                               np.asarray(compact[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(holey[1]),
+                               np.asarray(compact[1]), atol=1e-6)
