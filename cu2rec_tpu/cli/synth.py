@@ -37,33 +37,49 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--clip", action="store_true",
                    help="censor ratings to [1, 5] (floor becomes inexact)")
+    p.add_argument("--implicit", action="store_true",
+                   help="implicit-feedback variant: observations drawn "
+                        "from a per-user softmax over the planted affinity "
+                        "(ranking signal for BPR/iALS); ratings all 1.0, "
+                        "meta records the oracle AUC ceiling")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from cu2rec_tpu.data.synth import generate_planted, write_planted_csv
+    from cu2rec_tpu.data.synth import (
+        generate_planted, generate_planted_implicit, write_planted_csv)
 
     dims = dict(users=args.users, items=args.items, ratings=args.ratings)
     if args.preset:
         dims = dict(PRESETS[args.preset])
     t0 = time.perf_counter()
-    data = generate_planted(dims["users"], dims["items"], dims["ratings"],
-                            n_factors=args.factors, noise=args.noise,
-                            seed=args.seed,
-                            clip=(1.0, 5.0) if args.clip else None)
+    oracle_auc = None
+    if args.implicit:
+        data, oracle_auc = generate_planted_implicit(
+            dims["users"], dims["items"], dims["ratings"],
+            n_factors=args.factors, seed=args.seed)
+    else:
+        data = generate_planted(dims["users"], dims["items"],
+                                dims["ratings"],
+                                n_factors=args.factors, noise=args.noise,
+                                seed=args.seed,
+                                clip=(1.0, 5.0) if args.clip else None)
     t1 = time.perf_counter()
     write_planted_csv(data, args.out_csv)
     t2 = time.perf_counter()
     meta = dict(noise_floor=data.noise_floor, mu=data.mu,
                 planted_factors=args.factors, seed=args.seed, **dims)
+    if oracle_auc is not None:
+        meta["oracle_auc"] = oracle_auc
     with open(args.out_csv + ".meta.json", "w") as f:
         json.dump(meta, f, indent=2)
         f.write("\n")
     print(f"Generated {dims['ratings']} ratings "
           f"({dims['users']}x{dims['items']}, planted F={args.factors}, "
-          f"floor RMSE={data.noise_floor}) in {t1 - t0:.1f}s, "
-          f"wrote {args.out_csv} in {t2 - t1:.1f}s")
+          + (f"oracle AUC={oracle_auc:.4f}" if oracle_auc is not None
+             else f"floor RMSE={data.noise_floor}")
+          + f") in {t1 - t0:.1f}s, wrote {args.out_csv} in {t2 - t1:.1f}s")
     return 0
 
 

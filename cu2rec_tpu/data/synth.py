@@ -91,6 +91,92 @@ def generate_planted(n_users: int, n_items: int, n_ratings: int,
                        user_bias=ub, item_bias=ib)
 
 
+def generate_planted_implicit(n_users: int, n_items: int, n_ratings: int,
+                              n_factors: int = 20, seed: int = 0,
+                              signal_std: float = 2.0,
+                              bias_std: float = 0.45,
+                              user_sigma: float = 1.0,
+                              chunk_users: int = 2048,
+                              oracle_samples: int = 200_000):
+    """Implicit-feedback planted model: the signal is in WHICH pairs are
+    observed, not in rating values.
+
+    ``generate_planted`` draws (user, item) observations from degree
+    distributions *independent* of the planted affinity, which is correct
+    for explicit-rating regression (the value carries the signal) but
+    leaves a ranking trainer like BPR (ops/bpr.py) nothing to learn beyond
+    item popularity.  Here each user's observed items are drawn from a
+    per-user softmax over the planted affinity
+
+        a(u, i) = p*_u · q*_i + b*_i,      i ~ softmax_i a(u, ·)
+
+    (the affinity plays the role of a log-popularity that is personalized
+    per user), all observations have rating 1.0, and the attainable
+    ceiling is the ORACLE AUC — P(a(u, i⁺) > a(u, j)) with i⁺ from the
+    model and j uniform, scored by the planted parameters themselves —
+    estimated by Monte Carlo and returned alongside the data.
+
+    Returns ``(PlantedData, oracle_auc)``; ``noise_floor`` is NaN (no
+    rating noise), and the planted item popularity emerges from ``b*_i``
+    plus the factor geometry rather than an explicit power law.
+    """
+    rng = np.random.default_rng(seed)
+    F = n_factors
+    s = (signal_std ** 2 / F) ** 0.25
+    P = rng.normal(0, s, (n_users, F)).astype(np.float32)
+    Q = rng.normal(0, s, (n_items, F)).astype(np.float32)
+    ib = rng.normal(0, bias_std, n_items).astype(np.float32)
+
+    w_u = rng.lognormal(0.0, user_sigma, n_users)
+    counts = rng.multinomial(n_ratings, w_u / w_u.sum())
+    users = np.repeat(np.arange(n_users, dtype=np.int32),
+                      counts).astype(np.int32)
+
+    items = np.empty(n_ratings, dtype=np.int32)
+    oracle_hits = 0
+    oracle_tot = 0
+    per_chunk_oracle = max(1, oracle_samples // max(1, n_users // chunk_users))
+    pos = 0
+    for lo in range(0, n_users, chunk_users):
+        hi = min(lo + chunk_users, n_users)
+        c = hi - lo
+        logits = P[lo:hi] @ Q.T + ib                       # (c, I)
+        logits -= logits.max(axis=1, keepdims=True)
+        np.exp(logits, out=logits)
+        cdf = np.cumsum(logits, axis=1, dtype=np.float64)
+        cdf /= cdf[:, -1:]
+        n_chunk = int(counts[lo:hi].sum())
+        # Vectorized per-row categorical sampling: offset each row's cdf
+        # into its own unit interval, one flat searchsorted for all rows.
+        flat_cdf = (cdf + np.arange(c, dtype=np.float64)[:, None]).ravel()
+        rows = np.repeat(np.arange(c), counts[lo:hi])
+        u01 = rng.random(n_chunk) + rows
+        flat_pos = np.searchsorted(flat_cdf, u01)
+        drawn = (flat_pos - rows.astype(np.int64) * n_items).astype(np.int32)
+        items[pos:pos + n_chunk] = np.minimum(drawn, n_items - 1)
+        pos += n_chunk
+        # Oracle-AUC Monte Carlo on this chunk's users.
+        m = min(per_chunk_oracle, c)
+        sel = rng.integers(0, c, size=m)
+        su = rng.random(m) + sel
+        p_items = np.minimum(
+            (np.searchsorted(flat_cdf, su) - sel.astype(np.int64) * n_items),
+            n_items - 1)
+        n_items_draw = rng.integers(0, n_items, size=m)
+        a = P[lo + sel]
+        s_pos = np.einsum("mf,mf->m", a, Q[p_items]) + ib[p_items]
+        s_neg = np.einsum("mf,mf->m", a, Q[n_items_draw]) + ib[n_items_draw]
+        oracle_hits += int((s_pos > s_neg).sum())
+        oracle_tot += m
+
+    ratings = np.ones(n_ratings, dtype=np.float32)
+    data = PlantedData(users=users, items=items, ratings=ratings,
+                       noise_floor=float("nan"), mu=0.0, P=P, Q=Q,
+                       user_bias=np.zeros(n_users, np.float32),
+                       item_bias=ib)
+    return data, oracle_hits / max(1, oracle_tot)
+
+
 def write_planted_csv(data: PlantedData, path: str) -> None:
     """Write the triplets as a standard ratings CSV (1-based ids, header),
     via the native parallel writer when available."""

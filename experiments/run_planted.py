@@ -52,12 +52,17 @@ def main() -> int:
     p.add_argument("--reg", type=float, default=0.02)
     p.add_argument("--train-eval-sample", type=int, default=2_000_000)
     p.add_argument("--test-eval-sample", type=int, default=0)
+    p.add_argument("--implicit", action="store_true",
+                   help="implicit-feedback planted data (softmax-affinity "
+                        "observations; ranking signal + oracle-AUC ceiling "
+                        "for BPR cells)")
     p.add_argument("--skip-gen", action="store_true",
                    help="reuse existing files in workdir")
     p.add_argument("--tag", default="")
     args = p.parse_args()
 
-    workdir = args.workdir or os.path.join("/tmp", f"planted_{args.preset}")
+    workdir = args.workdir or os.path.join(
+        "/tmp", f"planted_{args.preset}" + ("_imp" if args.implicit else ""))
     os.makedirs(workdir, exist_ok=True)
     raw = os.path.join(workdir, "ratings.csv")
     train_csv = os.path.join(workdir, "ratings_train.csv")
@@ -65,10 +70,13 @@ def main() -> int:
     py = [sys.executable, "-m"]
 
     if not (args.skip_gen and os.path.exists(test_csv)):
-        t_gen = run(py + ["cu2rec_tpu.cli.synth", raw,
-                          "--preset", args.preset,
-                          "--noise", str(args.noise),
-                          "--factors", str(args.planted_factors)])
+        gen_cmd = py + ["cu2rec_tpu.cli.synth", raw,
+                        "--preset", args.preset,
+                        "--noise", str(args.noise),
+                        "--factors", str(args.planted_factors)]
+        if args.implicit:
+            gen_cmd.append("--implicit")
+        t_gen = run(gen_cmd)
         t_split = run(py + ["cu2rec_tpu.cli.split", raw, "0.1"])
     else:
         t_gen = t_split = 0.0
@@ -118,6 +126,12 @@ def main() -> int:
                    if upd_s else None,
                    gen_s=round(t_gen, 1), split_s=round(t_split, 1),
                    train_wall_s=round(t_train, 1))
+    if args.algo == "bpr" and last:
+        # BPR trainer packs AUC/recall into the mae/rmse columns
+        # (cu2rec_tpu/train/bpr.py): test_mae = 1-AUC, test_rmse = 1-recall.
+        summary["final_auc"] = 1.0 - last["test_mae"]
+        summary["final_recall_at_k"] = 1.0 - last["test_rmse"]
+        summary["oracle_auc"] = meta.get("oracle_auc")
     with open(jsonl, "a") as f:
         f.write(json.dumps(summary) + "\n")
     print(json.dumps(summary, indent=2))

@@ -205,6 +205,42 @@ def test_bpr_sharded_matches_single():
                                       np.asarray(ref.item_bias))
 
 
+def test_implicit_planted_has_ranking_signal():
+    """generate_planted_implicit draws observations ∝ softmax(affinity),
+    so (a) the planted oracle beats chance by a wide margin, (b) the
+    generator is deterministic per seed, and (c) BPR actually learns the
+    ranking (the affinity-independent explicit generator gives BPR nothing
+    but popularity — measured AUC 0.53 at ML-20M, docs/RESULTS.md)."""
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.data.synth import generate_planted_implicit
+    from cu2rec_tpu.train.bpr import train_bpr
+
+    d, oracle = generate_planted_implicit(300, 200, 20_000, n_factors=8,
+                                          seed=3)
+    d2, oracle2 = generate_planted_implicit(300, 200, 20_000, n_factors=8,
+                                            seed=3)
+    assert oracle == oracle2
+    np.testing.assert_array_equal(d.items, d2.items)
+    assert oracle > 0.75, f"oracle AUC too weak to validate against: {oracle}"
+    assert np.all(d.ratings == 1.0)
+
+    from cu2rec_tpu.data.synth import split_arrays
+    (tu, ti, tr), (su, si, sr) = split_arrays(d.users, d.items, d.ratings,
+                                              0.9)
+    train = csr_from_arrays(tu, ti, tr, 300, 200, use_native=False)
+    test = csr_from_arrays(su, si, sr, 300, 200, use_native=False)
+    cfg = Config()
+    cfg.total_iterations = 300
+    cfg.check_error = 300
+    cfg.n_factors = 8
+    cfg.learning_rate = 0.05
+    cfg.P_reg = cfg.Q_reg = cfg.user_bias_reg = cfg.item_bias_reg = 0.002
+    model, _ = train_bpr(train, test, cfg,
+                         logger=MetricsLogger(verbose=False))
+    auc = auc_eval(model, train, test, seed=1)
+    assert auc > 0.62, f"BPR failed to learn planted ranking: AUC={auc}"
+
+
 def test_resume_skips_completed_work(toy_csr):
     """cur_iterations>0 trains only the remainder — for BPR, ALS and
     iALS (regression: resume re-ran all iterations/sweeps from 0)."""
