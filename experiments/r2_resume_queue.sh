@@ -21,6 +21,11 @@ timeout 7200 python experiments/run_planted.py --preset ml20m --implicit \
   --iterations 2000 --factors 50 --algo bpr --lr 0.05 --reg 0.002 \
   --check-error 500 --tag=-bpr-imp
 
+# iALS on the same implicit planted data (reuses the generated split)
+timeout 7200 python experiments/run_planted.py --preset ml20m --implicit \
+  --iterations 6 --factors 50 --algo ials --reg 0.02 --skip-gen \
+  --tag=-ials-imp
+
 bash experiments/r2_grid_queue.sh
 
 timeout 3600 python experiments/gather_roofline.py

@@ -46,10 +46,16 @@ def main() -> int:
     p.add_argument("--check-error", type=int, default=500)
     p.add_argument("--noise", type=float, default=0.30)
     p.add_argument("--planted-factors", type=int, default=20)
-    p.add_argument("--algo", default="sgd", choices=["sgd", "als", "bpr"])
+    p.add_argument("--algo", default="sgd",
+                   choices=["sgd", "als", "ials", "bpr"])
     p.add_argument("--collision", default="twin")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--reg", type=float, default=0.02)
+    p.add_argument("--alpha", type=float, default=None,
+                   help="iALS confidence slope; default 1.0 on --implicit "
+                        "data (binary observations: alpha only scales the "
+                        "uniform confidence; measured sweep favors 1.0), "
+                        "else the CLI default 40.0")
     p.add_argument("--train-eval-sample", type=int, default=2_000_000)
     p.add_argument("--test-eval-sample", type=int, default=0)
     p.add_argument("--implicit", action="store_true",
@@ -102,6 +108,10 @@ def main() -> int:
                 "--algo", args.algo]
     if args.algo == "sgd":
         cmd += ["--collision", args.collision]
+    if args.algo == "ials":
+        alpha = args.alpha if args.alpha is not None else (
+            1.0 if args.implicit else 40.0)
+        cmd += ["--alpha", str(alpha)]
     env = dict(os.environ)
     t_train = run(cmd, env=env)
 
@@ -126,10 +136,12 @@ def main() -> int:
                    if upd_s else None,
                    gen_s=round(t_gen, 1), split_s=round(t_split, 1),
                    train_wall_s=round(t_train, 1))
-    if args.algo == "bpr" and last:
-        # BPR trainer packs AUC/recall into the mae/rmse columns
-        # (cu2rec_tpu/train/bpr.py): test_mae = 1-AUC, test_rmse = 1-recall.
-        summary["final_auc"] = 1.0 - last["test_mae"]
+    if args.algo in ("bpr", "ials") and last:
+        # Implicit trainers pack ranking metrics into the mae/rmse columns
+        # (train/bpr.py: test_mae = 1-AUC, test_rmse = 1-recall@k;
+        #  train/ials.py: test_rmse = 1-recall@k).
+        if args.algo == "bpr":
+            summary["final_auc"] = 1.0 - last["test_mae"]
         summary["final_recall_at_k"] = 1.0 - last["test_rmse"]
         summary["oracle_auc"] = meta.get("oracle_auc")
     with open(jsonl, "a") as f:

@@ -136,3 +136,28 @@ def test_ials_sharded_matches_single(toy_csr):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(m1.Q), np.asarray(m2.Q),
                                atol=5e-3)
+
+
+def test_ials_learns_implicit_planted_ranking():
+    """iALS recall@k on implicit planted data (softmax-affinity
+    observations, data/synth.py) must clearly beat the popularity-only
+    level — the same signal check test_bpr runs for BPR."""
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.data.synth import generate_planted_implicit, split_arrays
+
+    d, oracle = generate_planted_implicit(300, 200, 20_000, n_factors=8,
+                                          seed=3)
+    assert oracle > 0.75
+    (tu, ti, tr), (su, si, sr) = split_arrays(d.users, d.items, d.ratings,
+                                              0.9)
+    train = csr_from_arrays(tu, ti, tr, 300, 200, use_native=False)
+    test = csr_from_arrays(su, si, sr, 300, 200, use_native=False)
+    cfg = Config(total_iterations=6, n_factors=8, P_reg=0.02, Q_reg=0.02)
+    model, losses = train_ials(train, test, cfg, alpha=1.0,
+                               logger=quiet(), recall_k=10)
+    recall = 1.0 - losses[6]
+    # sweep-1 recall is ~0.055 (popularity-dominated start); six sweeps
+    # roughly double it (measured curve 0.055 → 0.123, alpha sweep in the
+    # commit log) — require clearly past the start, with slack
+    assert recall > 0.10, f"iALS failed to learn planted ranking: {recall}"
+    assert recall > (1.0 - losses[1]) + 0.03
