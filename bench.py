@@ -88,8 +88,12 @@ def main() -> None:
     ml100k_ups = csr.n_users * iters / dt
 
     # ---- reference CPU-baseline protocol (mf_sequential.cu twin) ----
+    # n_factors matches the HEADLINE config (F=100): sequential-SGD cost
+    # per update is O(F), so vs_baseline must divide rates measured at the
+    # same F.  (The twin's per-update rate is otherwise independent of
+    # U/I/R scale, so measuring it on ML-100K is fine.)
     from cu2rec_tpu.train.reference import sequential_train
-    cpu_cfg = Config(n_factors=50, total_iterations=3, check_error=10**9)
+    cpu_cfg = Config(n_factors=F, total_iterations=3, check_error=10**9)
     t0 = time.perf_counter()
     sequential_train(csr, csr, cpu_cfg, rd.global_bias, verbose=False)
     cpu_dt = time.perf_counter() - t0

@@ -49,7 +49,8 @@ def main(argv=None) -> int:
                     f.write("userId,itemId,rating\n")
                     np.savetxt(f, np.column_stack(
                         [users + 1, items + 1, ratings]),
-                        fmt="%d,%d,%.6g")
+                        fmt="%d,%d,%.3f")  # match the native writer's
+                    # %.3f so both paths emit byte-identical files
 
         write(f"{filepath}_train{extension}", *tr)
         write(f"{filepath}_test{extension}", *te)

@@ -66,6 +66,9 @@ def main(argv=None) -> int:
                                 seed=args.seed,
                                 clip=(1.0, 5.0) if args.clip else None)
     t1 = time.perf_counter()
+    # The implicit generator dedupes repeated (u, i) draws, so the actual
+    # count can be below the requested one — record what was written.
+    dims["ratings"] = int(len(data.users))
     write_planted_csv(data, args.out_csv)
     t2 = time.perf_counter()
     meta = dict(noise_floor=data.noise_floor, mu=data.mu,

@@ -116,8 +116,11 @@ def generate_planted_implicit(n_users: int, n_items: int, n_ratings: int,
     model and j uniform, scored by the planted parameters themselves —
     estimated by Monte Carlo and returned alongside the data.
 
-    Returns ``(PlantedData, oracle_auc)``; ``noise_floor`` is NaN (no
-    rating noise), and the planted item popularity emerges from ``b*_i``
+    Returns ``(PlantedData, oracle_auc)``; repeated (u, i) draws are
+    deduplicated, so ``len(data.users)`` can be below ``n_ratings`` —
+    otherwise the duplicate pair would land in both sides of a later
+    train/test split and deflate masked recall@k.  ``noise_floor`` is NaN
+    (no rating noise), and the planted item popularity emerges from ``b*_i``
     plus the factor geometry rather than an explicit power law.
     """
     rng = np.random.default_rng(seed)
@@ -169,7 +172,18 @@ def generate_planted_implicit(n_users: int, n_items: int, n_ratings: int,
         oracle_hits += int((s_pos > s_neg).sum())
         oracle_tot += m
 
-    ratings = np.ones(n_ratings, dtype=np.float32)
+    # Dedupe repeated (u, i) draws: sampling is with replacement and a
+    # concentrated per-user softmax repeats head items often, so without
+    # this the same pair lands in BOTH train and test after the split —
+    # the train side then masks the test positive out of recommendations
+    # and recall@k is systematically understated vs the oracle ceiling.
+    # (The explicit generator needs no dedup: uniform-ish draws over
+    # U×I cells make collisions ~0.3% at ML-20M shapes.)
+    keys = users.astype(np.int64) * n_items + items
+    _, first = np.unique(keys, return_index=True)
+    first.sort()
+    users, items = users[first], items[first]
+    ratings = np.ones(len(users), dtype=np.float32)
     data = PlantedData(users=users, items=items, ratings=ratings,
                        noise_floor=float("nan"), mu=0.0, P=P, Q=Q,
                        user_bias=np.zeros(n_users, np.float32),

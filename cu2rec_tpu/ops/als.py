@@ -166,6 +166,10 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
         # _solve_heavy sees all of it).  B here counts segments.
         seg_start, seg_end = b["seg_start"], b["seg_end"]
         H = len(b["row_ids"])
+        # NOTE: pad_chunk's ``width=chunk`` default was captured at def
+        # time above; after this rebind every heavy-path call must pass
+        # ``width=`` explicitly or groups sized between the old and new
+        # chunk would keep heterogeneous shapes (one recompile per shape).
         chunk = max(chunk, int((seg_end - seg_start).max()))
         groups = []
         lo = 0
@@ -181,9 +185,10 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
             s0, s1 = int(seg_start[lo]), int(seg_end[hi - 1])
             chunks.append((
                 "heavy",
-                pad_chunk(b["cols"], s0, s1, sharded=False),
-                pad_chunk(b["vals"], s0, s1, sharded=False),
-                pad_chunk(b["mask"], s0, s1, fill=False, sharded=False),
+                pad_chunk(b["cols"], s0, s1, sharded=False, width=chunk),
+                pad_chunk(b["vals"], s0, s1, sharded=False, width=chunk),
+                pad_chunk(b["mask"], s0, s1, fill=False, sharded=False,
+                          width=chunk),
                 pad_chunk(b["row_ids"], lo, hi, fill=n_rows_total,
                           sharded=False, width=H_pad),
                 pad_chunk(seg_start - s0, lo, hi, fill=0, sharded=False,

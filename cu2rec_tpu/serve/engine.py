@@ -128,7 +128,12 @@ class ShardedServingEngine:
         trimmed from the result.  Returns (scores (B,k), item ids (B,k))."""
         B = int(np.shape(p_rows)[0])
         Bp = _pow2_pad(B)
-        R = int(np.shape(rated_items)[1]) if np.ndim(rated_items) == 2 else 1
+        rated_items = np.asarray(rated_items)
+        rated_mask = np.asarray(rated_mask)
+        if rated_items.ndim == 1:  # one rated item per user → (B, 1)
+            rated_items = rated_items[:, None]
+            rated_mask = rated_mask[:, None]
+        R = int(rated_items.shape[1])
         Rp = _pow2_pad(max(R, 1))
         p_rows = jnp.pad(jnp.asarray(p_rows, jnp.float32),
                          ((0, Bp - B), (0, 0)))

@@ -15,7 +15,7 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from cu2rec_tpu.data.csr import CSRRatings, to_device, transpose_csr
+from cu2rec_tpu.data.csr import CSRRatings, transpose_csr
 from cu2rec_tpu.models.state import MFModel, init_model
 from cu2rec_tpu.ops.ials import ials_half_sweep
 from cu2rec_tpu.utils.config import Config
@@ -56,9 +56,12 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     it_indptr, it_rows, it_vals = transpose_csr(train_csr)
     if device_buckets:
         from cu2rec_tpu.ops.als import prepare_chunks_device
-        dev = to_device(train_csr)
+        # Upload only the flat indices/data — NOT to_device(), whose
+        # pair_pack/row_ids mirrors (~3x nnz ints) are never read by the
+        # sweep and cost minutes over slow host links at 100M ratings.
         user_chunks = prepare_chunks_device(
-            dev.indices, dev.data, train_csr.indptr, F, train_csr.n_users,
+            jnp.asarray(train_csr.indices), jnp.asarray(train_csr.data),
+            train_csr.indptr, F, train_csr.n_users,
             train_csr.nnz, row_sharding=row_sharding)
         item_chunks = prepare_chunks_device(
             jnp.asarray(it_rows), jnp.asarray(it_vals), it_indptr, F,

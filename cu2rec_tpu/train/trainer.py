@@ -117,6 +117,17 @@ class SingleChipEngine:
     def __init__(self, train_csr: CSRRatings, test_csr: CSRRatings,
                  cfg: Config, eval_chunk: int = 1 << 20,
                  packed: bool = True):
+        # Align dimensions so evaluation of either split indexes the same
+        # parameter tables (same guard as ShardedEngine; without it a test
+        # CSR with a larger max id silently gather-clamps to the last row
+        # and corrupts the validation RMSE driving the LR scheduler).
+        from cu2rec_tpu.data.csr import normalize_csr_dims
+        n_users = max(train_csr.n_users, test_csr.n_users)
+        n_items = max(train_csr.n_items, test_csr.n_items)
+        train_csr = normalize_csr_dims(train_csr, n_users, n_items)
+        test_csr = normalize_csr_dims(test_csr, n_users, n_items)
+        self.n_users = n_users
+        self.n_items = n_items
         self.train_dev = to_device(
             train_csr, item_major=(cfg.collision_policy == "twin"))
         self.test_dev = to_device(test_csr)
@@ -299,7 +310,10 @@ def train(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     """
     engine = engine or SingleChipEngine(train_csr, test_csr, cfg, eval_chunk)
     if model is None:
-        state = engine.init_model(train_csr.n_users, train_csr.n_items,
+        # Use the engine's (dimension-normalized) sizes, not the raw train
+        # CSR's — they differ when the test split has a larger max id.
+        state = engine.init_model(getattr(engine, "n_users", train_csr.n_users),
+                                  getattr(engine, "n_items", train_csr.n_items),
                                   global_bias)
     else:
         state = engine.prepare(model) if hasattr(engine, "prepare") else model

@@ -249,3 +249,30 @@ def test_als_device_buckets_matches_host(toy_csr, toy_ratings):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(m1.Q), np.asarray(m2.Q),
                                atol=1e-6)
+
+
+def test_heavy_chunks_uniform_shapes():
+    """Heavy groups larger than the budget-derived chunk must still pad to
+    ONE common shape (pad_chunk's width default is captured before the
+    heavy rebind — regression for the per-shape-recompile bug)."""
+    from cu2rec_tpu.data.csr import CSRRatings
+    from cu2rec_tpu.ops.als import bucket_csr, prepare_chunks
+
+    rng = np.random.default_rng(5)
+    n_items = 25_000
+    degs = [20_000, 9_000, 3]          # 3-segment heavy, 2-segment heavy
+    cols, vals, indptr = [], [], [0]
+    for d in degs:
+        cols.append(np.sort(rng.choice(n_items, d, replace=False)))
+        vals.append(rng.uniform(1, 5, d))
+        indptr.append(indptr[-1] + d)
+    csr = CSRRatings(indptr=np.array(indptr, np.int64),
+                     indices=np.concatenate(cols).astype(np.int32),
+                     data=np.concatenate(vals).astype(np.float32),
+                     n_users=len(degs), n_items=n_items)
+    F = 4
+    # budget so small the pre-rebind chunk is 1 segment
+    chunks = prepare_chunks(bucket_csr(csr.indptr, csr.indices, csr.data),
+                            F, csr.n_users, budget=8192 * (F + 1))
+    heavy_shapes = {c[1].shape for c in chunks if c[0] == "heavy"}
+    assert len(heavy_shapes) == 1, heavy_shapes

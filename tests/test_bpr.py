@@ -230,15 +230,18 @@ def test_implicit_planted_has_ranking_signal():
     train = csr_from_arrays(tu, ti, tr, 300, 200, use_native=False)
     test = csr_from_arrays(su, si, sr, 300, 200, use_native=False)
     cfg = Config()
-    cfg.total_iterations = 300
-    cfg.check_error = 300
+    # 1000 iterations: the deduped fixture keeps ~7.7K of the 20K draws
+    # (62% of this small dense grid's draws are repeats), so BPR needs a
+    # few more epochs to clear the threshold (measured: AUC 0.69 here).
+    cfg.total_iterations = 1000
+    cfg.check_error = 1000
     cfg.n_factors = 8
     cfg.learning_rate = 0.05
     cfg.P_reg = cfg.Q_reg = cfg.user_bias_reg = cfg.item_bias_reg = 0.002
     model, _ = train_bpr(train, test, cfg,
                          logger=MetricsLogger(verbose=False))
     auc = auc_eval(model, train, test, seed=1)
-    assert auc > 0.62, f"BPR failed to learn planted ranking: AUC={auc}"
+    assert auc > 0.64, f"BPR failed to learn planted ranking: AUC={auc}"
 
 
 def test_resume_skips_completed_work(toy_csr):

@@ -230,3 +230,18 @@ def test_serving_engine_foldin_holey_mask(trained):
                                np.asarray(compact[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(holey[1]),
                                np.asarray(compact[1]), atol=1e-6)
+
+
+def test_serving_engine_recommend_1d_rated(trained):
+    """recommend() accepts 1-D rated lists (one rated item per user)."""
+    import jax
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    model, _, _ = trained
+    eng = ShardedServingEngine(model, devices=jax.devices()[:2])
+    users = np.array([0, 1], dtype=np.int32)
+    vals, recs = eng.recommend(model.P[users], model.user_bias[users],
+                               np.array([3, 1], np.int32),
+                               np.array([True, True]), k=3)
+    assert vals.shape == (2, 3) and recs.shape == (2, 3)
+    assert 3 not in np.asarray(recs[0]) and 1 not in np.asarray(recs[1])

@@ -135,3 +135,24 @@ def test_resume_skips_completed_work(toy_csr, toy_ratings):
                                np.asarray(model_full.P), atol=1e-6)
     np.testing.assert_allclose(np.asarray(model_b.Q),
                                np.asarray(model_full.Q), atol=1e-6)
+
+
+def test_single_chip_mismatched_test_dims(toy_csr, toy_ratings):
+    """Test split with a larger max user/item id than train: the engine
+    must grow the model tables instead of silently gather-clamping eval
+    row ids to the last row (same guard ShardedEngine grew in r2)."""
+    from cu2rec_tpu.data.csr import CSRRatings
+
+    extra_u = toy_csr.n_users + 2   # two users unseen in train
+    extra_i = toy_csr.n_items + 1
+    test_csr = CSRRatings(
+        indptr=np.array([0] * (extra_u - 1) + [1, 2], np.int64),
+        indices=np.array([toy_csr.n_items, 0], np.int32),
+        data=np.array([4.0, 3.0], np.float32),
+        n_users=extra_u, n_items=extra_i)
+    cfg = Config(total_iterations=5, n_factors=2, check_error=2)
+    model, losses = train(toy_csr, test_csr, cfg, toy_ratings.global_bias,
+                          logger=quiet())
+    assert model.P.shape[0] == extra_u
+    assert model.Q.shape[0] == extra_i
+    assert np.isfinite(list(losses.values())).all()
