@@ -55,6 +55,10 @@ def build_parser():
                         "number of sweeps; ials = implicit-feedback "
                         "weighted MF and bpr = pairwise ranking, both "
                         "evaluated by recall@10)")
+    p.add_argument("--solver",
+                   choices=["auto", "blocked", "pallas", "xla"],
+                   default="auto",
+                   help="batched ridge solver for als/ials sweeps")
     p.add_argument("--alpha", type=float, default=40.0,
                    help="iALS confidence slope (c = 1 + alpha*r)")
     p.add_argument("--outdir", default=None,
@@ -120,7 +124,8 @@ def main(argv=None) -> int:
         from cu2rec_tpu.train.ials import train_ials
         model, _losses = train_ials(train_csr, test_csr, cfg,
                                     alpha=args.alpha, model=model,
-                                    logger=logger, mesh=mesh)
+                                    logger=logger, mesh=mesh,
+                                    solver=args.solver)
     elif cfg.algo == "als":
         # ALS shards its batched ridge solves over a mesh directly — no
         # ShardedEngine needed (each row's solve is independent).
@@ -131,7 +136,8 @@ def main(argv=None) -> int:
         from cu2rec_tpu.train.als import train_als
         model, _losses = train_als(train_csr, test_csr, cfg,
                                    train_rd.global_bias, model=model,
-                                   logger=logger, mesh=mesh)
+                                   logger=logger, mesh=mesh,
+                                   solver=args.solver)
     else:
         engine = None
         if args.devices and args.devices > 1:

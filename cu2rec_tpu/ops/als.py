@@ -370,11 +370,24 @@ def _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg_vec, deg,
 
 
 def _ridge_finish(G, rhs, solver: str):
+    if solver == "auto":
+        # Measured (results/solve-bench.jsonl, v5e): the Pallas
+        # VMEM-resident solver is 3.5x (N=51) / 10.1x (N=101) the
+        # blocked path on TPU; in interpret mode on CPU it is pure
+        # overhead, so auto picks blocked there.
+        solver = "pallas" if jax.default_backend() == "tpu" else "blocked"
     if solver == "blocked":
         # batch-vectorized blocked Cholesky (ops/batched_linalg) — 4.4x
         # the XLA custom-call path for many small systems on TPU
         from cu2rec_tpu.ops.batched_linalg import ridge_solve_batched
         return ridge_solve_batched(G, rhs)
+    if solver == "pallas":
+        # VMEM-resident lane-batched Cholesky (ops/pallas_linalg):
+        # HBM reads G exactly once per solve instead of once per panel
+        # step of the blocked path.
+        from cu2rec_tpu.ops.pallas_linalg import ridge_solve_batched_pallas
+        return ridge_solve_batched_pallas(
+            G, rhs, interpret=jax.default_backend() == "cpu")
     chol = jnp.linalg.cholesky(G)
     z = jax.scipy.linalg.solve_triangular(chol, rhs[..., None], lower=True)
     return jax.scipy.linalg.solve_triangular(

@@ -29,7 +29,8 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
               logger: MetricsLogger | None = None,
               weight_by_degree: bool = True,
               mesh=None,
-              device_buckets: bool | None = None):
+              device_buckets: bool | None = None,
+              solver: str = "auto"):
     """Train by ALS for ``cfg.total_iterations`` sweeps.
 
     Returns (model, losses) like the SGD trainer.  With ``mesh`` (any
@@ -90,13 +91,13 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         T_u = als_half_sweep(pm.T_u, pm.T_i, user_buckets, mu,
                              cfg.P_reg, cfg.user_bias_reg, F,
                              weight_by_degree=weight_by_degree,
-                             row_sharding=row_sharding)
+                             row_sharding=row_sharding, solver=solver)
         pm = PackedModel(T_u=T_u, T_i=pm.T_i, global_bias=pm.global_bias,
                          n_factors=F)
         T_i = als_half_sweep(pm.T_i, pm.T_u, item_buckets, mu,
                              cfg.Q_reg, cfg.item_bias_reg, F,
                              weight_by_degree=weight_by_degree,
-                             row_sharding=row_sharding)
+                             row_sharding=row_sharding, solver=solver)
         pm = PackedModel(T_u=pm.T_u, T_i=T_i, global_bias=pm.global_bias,
                          n_factors=F)
 

@@ -30,7 +30,8 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
                recall_k: int = 10,
                recall_users: int = 2048,
                device_buckets: bool | None = None,
-               mesh=None):
+               mesh=None,
+               solver: str = "auto"):
     """Train implicit weighted-MF for ``cfg.total_iterations`` sweeps.
 
     ``cfg.P_reg`` is the ridge λ (``Q_reg`` for the item side);
@@ -86,8 +87,10 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     # Resume skips completed sweeps (cur_iterations counts sweeps here).
     for sweep in range(min(cfg.cur_iterations, cfg.total_iterations) + 1,
                        cfg.total_iterations + 1):
-        X = ials_half_sweep(X, Y, user_chunks, alpha, cfg.P_reg)
-        Y = ials_half_sweep(Y, X, item_chunks, alpha, cfg.Q_reg)
+        X = ials_half_sweep(X, Y, user_chunks, alpha, cfg.P_reg,
+                            solver=solver)
+        Y = ials_half_sweep(Y, X, item_chunks, alpha, cfg.Q_reg,
+                            solver=solver)
         from cu2rec_tpu.serve.recommend import recall_at_k_eval
         rec = recall_at_k_eval(as_model(X, Y), train_csr, test_csr,
                                k=recall_k, max_users=recall_users)

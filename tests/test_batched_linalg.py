@@ -42,3 +42,48 @@ def test_cho_solve_roundtrip():
     theta = cho_solve_batched(L, rhs)
     recon = np.asarray(jnp.einsum("bij,bj->bi", G, theta))
     np.testing.assert_allclose(recon, np.asarray(rhs), atol=2e-3, rtol=1e-2)
+
+
+def test_pallas_ridge_matches():
+    """Lane-batched VMEM Cholesky (interpret mode) vs jnp.linalg.solve,
+    including a batch that is not a multiple of the lane tile (pad path)."""
+    from cu2rec_tpu.ops.pallas_linalg import ridge_solve_batched_pallas
+
+    rng = np.random.default_rng(3)
+    for B, N in ((9, 5), (130, 33), (64, 101)):
+        G = spd_batch(B, N, seed=N + 7)
+        rhs = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+        theta = np.asarray(ridge_solve_batched_pallas(G, rhs, interpret=True))
+        ref = np.asarray(jnp.linalg.solve(G, rhs[..., None])[..., 0])
+        np.testing.assert_allclose(theta, ref, atol=2e-3, rtol=2e-2)
+
+
+def test_als_pallas_solver_matches_blocked():
+    """ALS half-sweep output is solver-independent (pallas == blocked)."""
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.ops.als import als_half_sweep, bucket_csr
+    from cu2rec_tpu.ops.packed import pack
+
+    rng = np.random.default_rng(11)
+    U, I, F = 37, 23, 8
+    rows, cols, vals = [], [], []
+    for u in range(U):
+        picks = rng.choice(I, size=rng.integers(1, 12), replace=False)
+        for i in sorted(picks):
+            rows.append(u)
+            cols.append(i)
+            vals.append(float(rng.integers(1, 6)))
+    csr = csr_from_arrays(np.asarray(rows, np.int32),
+                          np.asarray(cols, np.int32),
+                          np.asarray(vals, np.float32), U, I)
+    model = init_model(U, I, F, float(np.mean(vals)), seed=3)
+    pm = pack(model)
+    buckets = bucket_csr(csr.indptr, csr.indices, csr.data)
+    outs = {}
+    for solver in ("blocked", "pallas"):
+        outs[solver] = np.asarray(als_half_sweep(
+            pm.T_u, pm.T_i, buckets, jnp.float32(model.global_bias),
+            0.05, 0.05, F, solver=solver))
+    np.testing.assert_allclose(outs["pallas"], outs["blocked"],
+                               atol=2e-4, rtol=2e-3)
