@@ -68,6 +68,32 @@ def main() -> None:
     ml20m_ups = U * iters20 / dt20
     del pm20, dev20
 
+    # ---- ALS sweep rate at the same scale (Pallas lane-batched solver) --
+    from cu2rec_tpu.data.csr import transpose_csr
+    from cu2rec_tpu.ops.als import als_half_sweep, prepare_chunks_device
+    it_indptr, it_rows, it_vals = transpose_csr(csr20)
+    ub = prepare_chunks_device(jnp.asarray(csr20.indices),
+                               jnp.asarray(csr20.data), csr20.indptr,
+                               F, U, csr20.nnz)
+    ib = prepare_chunks_device(jnp.asarray(it_rows), jnp.asarray(it_vals),
+                               it_indptr, F, I, csr20.nnz)
+    pma = pack(init_model(U, I, F, 3.6, seed=cfg20.seed))
+    T_u, T_i = pma.T_u, pma.T_i
+
+    def als_sweep(T_u, T_i):
+        T_u = als_half_sweep(T_u, T_i, ub, 3.6, 0.02, 0.02, F)
+        T_i = als_half_sweep(T_i, T_u, ib, 3.6, 0.02, 0.02, F)
+        return T_u, T_i
+
+    T_u, T_i = als_sweep(T_u, T_i)
+    fetch_barrier(T_u)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        T_u, T_i = als_sweep(T_u, T_i)
+    fetch_barrier(T_u)
+    als_sweep_s = (time.perf_counter() - t0) / 2
+    del T_u, T_i, ub, ib, pma
+
     # ---- secondary: real ML-100K, reference-parity first_wins ----
     rd = read_ratings_csv("data/ml100k_ratings.csv")
     csr = build_csr(rd)
@@ -130,6 +156,7 @@ def main() -> None:
                 "wall_s": round(dt20, 4),
                 "ms_per_step": round(dt20 / iters20 * 1e3, 3),
             },
+            "als_ml20m_s_per_sweep": round(als_sweep_s, 3),
             "ml100k_first_wins_updates_per_s": round(ml100k_ups, 1),
             "cpu_sequential_updates_per_s": round(cpu_ups, 1),
             "serving_top10_users_per_s": round(serve_qps, 1),
