@@ -27,9 +27,11 @@ def build_parser():
     p = argparse.ArgumentParser(prog="cu2rec-synth", description=__doc__)
     p.add_argument("out_csv")
     p.add_argument("--preset", choices=sorted(PRESETS), default=None)
-    p.add_argument("--users", type=int, default=10_000)
-    p.add_argument("--items", type=int, default=2_000)
-    p.add_argument("--ratings", type=int, default=1_000_000)
+    # Defaults are None so an explicit flag can override a preset
+    # (preset supplies whatever the user did not pin down).
+    p.add_argument("--users", type=int, default=None)
+    p.add_argument("--items", type=int, default=None)
+    p.add_argument("--ratings", type=int, default=None)
     p.add_argument("--factors", type=int, default=20,
                    help="planted latent rank")
     p.add_argument("--noise", type=float, default=0.30,
@@ -50,9 +52,12 @@ def main(argv=None) -> int:
     from cu2rec_tpu.data.synth import (
         generate_planted, generate_planted_implicit, write_planted_csv)
 
-    dims = dict(users=args.users, items=args.items, ratings=args.ratings)
+    dims = dict(users=10_000, items=2_000, ratings=1_000_000)
     if args.preset:
         dims = dict(PRESETS[args.preset])
+    for k in dims:
+        if getattr(args, k) is not None:
+            dims[k] = getattr(args, k)
     t0 = time.perf_counter()
     oracle_auc = None
     if args.implicit:

@@ -120,6 +120,43 @@ def bucket_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
 from cu2rec_tpu.data.csr import transpose_csr  # noqa: F401  (shared impl)
 
 
+def _heavy_groups(seg_start, seg_end, chunk: int):
+    """Group heavy rows into chunks of ≤``chunk`` segments, whole rows
+    only (a row's segment range must stay inside one chunk so the
+    cumsum-difference Gram assembly in _solve_heavy sees all of it).
+
+    Shared by prepare_chunks and prepare_chunks_device so the two paths
+    can never diverge in grouping.  Returns (groups [(lo, hi) row
+    ranges], H_pad — the common padded row count, chunk — raised to the
+    largest single row's segment count if needed)."""
+    H = len(seg_start)
+    chunk = max(chunk, int((seg_end - seg_start).max()))
+    groups = []
+    lo = 0
+    while lo < H:
+        hi = lo
+        while hi < H and seg_end[hi] - seg_start[lo] <= chunk:
+            hi += 1
+        hi = max(hi, lo + 1)
+        groups.append((lo, hi))
+        lo = hi
+    H_pad = max(hi - lo for lo, hi in groups)
+    return groups, H_pad, chunk
+
+
+def _chunk_size(B: int, width: int, F1: int, budget: int,
+                row_sharding, heavy: bool) -> int:
+    """Rows per chunk bounding the (chunk, width, F1) design tensor to
+    ~``budget`` elements; non-heavy chunks are aligned to the mesh size
+    so sharded placement splits them evenly (heavy chunks are never
+    sharded — both prepare paths keep them replicated)."""
+    chunk = max(1, min(B, budget // max(width * F1, 1)))
+    if row_sharding is not None and not heavy:
+        n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
+        chunk = max(n_dev, (chunk // n_dev) * n_dev)
+    return chunk
+
+
 def prepare_chunks(bucketed: BucketedRows, n_factors: int,
                    n_rows_total: int, row_sharding=None,
                    budget: int = 64 << 20):
@@ -136,10 +173,8 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
     chunks = []
     for b in bucketed.buckets:
         B, D = b["cols"].shape
-        chunk = max(1, min(B, budget // max(D * F1, 1)))
-        if row_sharding is not None:
-            n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
-            chunk = max(n_dev, (chunk // n_dev) * n_dev)
+        chunk = _chunk_size(B, D, F1, budget, row_sharding,
+                            heavy="seg_start" in b)
 
         def pad_chunk(x, s, e, fill=0, sharded=True, width=chunk):
             out = x[s:e]
@@ -161,26 +196,13 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
                                          fill=n_rows_total)))
             continue
 
-        # Heavy bucket: chunk by WHOLE rows (a row's segment range must
-        # stay inside one chunk so the cumsum-difference Gram assembly in
-        # _solve_heavy sees all of it).  B here counts segments.
+        # Heavy bucket: B here counts segments.
         seg_start, seg_end = b["seg_start"], b["seg_end"]
-        H = len(b["row_ids"])
         # NOTE: pad_chunk's ``width=chunk`` default was captured at def
         # time above; after this rebind every heavy-path call must pass
         # ``width=`` explicitly or groups sized between the old and new
         # chunk would keep heterogeneous shapes (one recompile per shape).
-        chunk = max(chunk, int((seg_end - seg_start).max()))
-        groups = []
-        lo = 0
-        while lo < H:
-            hi = lo
-            while hi < H and seg_end[hi] - seg_start[lo] <= chunk:
-                hi += 1
-            hi = max(hi, lo + 1)
-            groups.append((lo, hi))
-            lo = hi
-        H_pad = max(hi - lo for lo, hi in groups)
+        groups, H_pad, chunk = _heavy_groups(seg_start, seg_end, chunk)
         for lo, hi in groups:
             s0, s1 = int(seg_start[lo]), int(seg_end[hi - 1])
             chunks.append((
@@ -240,10 +262,7 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
         cap = int(m["cap"])
         B = len(m["starts"])
         heavy = "seg_start" in m
-        chunk = max(1, min(B, budget // max(cap * F1, 1)))
-        if row_sharding is not None and not heavy:
-            n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
-            chunk = max(n_dev, (chunk // n_dev) * n_dev)
+        chunk = _chunk_size(B, cap, F1, budget, row_sharding, heavy)
 
         def padded(x, s, e, fill=0, width=None):
             width = chunk if width is None else width
@@ -271,18 +290,7 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
             continue
 
         seg_start, seg_end = m["seg_start"], m["seg_end"]
-        H = len(m["row_ids"])
-        chunk = max(chunk, int((seg_end - seg_start).max()))
-        groups = []
-        lo = 0
-        while lo < H:
-            hi = lo
-            while hi < H and seg_end[hi] - seg_start[lo] <= chunk:
-                hi += 1
-            hi = max(hi, lo + 1)
-            groups.append((lo, hi))
-            lo = hi
-        H_pad = max(hi - lo for lo, hi in groups)
+        groups, H_pad, chunk = _heavy_groups(seg_start, seg_end, chunk)
         for lo, hi in groups:
             s0, s1 = int(seg_start[lo]), int(seg_end[hi - 1])
             starts = jnp.asarray(padded(m["starts"], s0, s1), jnp.int32)
@@ -307,7 +315,7 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
 def als_half_sweep(T_self, T_other, bucketed, mu,
                    factor_reg: float, bias_reg: float, n_factors: int,
                    weight_by_degree: bool = True, row_sharding=None,
-                   solver: str = "blocked"):
+                   solver: str = "auto"):
     """Update every row of ``T_self`` given frozen ``T_other``.
 
     ``bucketed`` may be a host-side :class:`BucketedRows` (chunks prepared
@@ -351,7 +359,7 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
 
 @partial(jax.jit, static_argnames=("solver",))
 def _solve_bucket_weighted(T_other, cols, vals, mask, mu, reg_vec, deg,
-                           solver: str = "blocked"):
+                           solver: str = "auto"):
     F1 = reg_vec.shape[0]
     F = F1 - 1
     other = T_other[cols]
@@ -396,7 +404,7 @@ def _ridge_finish(G, rhs, solver: str):
 
 @partial(jax.jit, static_argnames=("solver",))
 def _solve_heavy(T_other, cols, vals, mask, mu, reg_vec, seg_start, seg_end,
-                 deg, solver: str = "blocked"):
+                 deg, solver: str = "auto"):
     """Exact ridge solve for ultra-heavy rows (degree > caps[-1]).
 
     The row's slice arrives split into cap-sized segments (S, D); the Gram

@@ -36,7 +36,7 @@ def gramian(T: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("solver",))
 def _solve_ials_bucket(T_other, G_global, cols, vals, mask, alpha, reg,
-                       solver: str = "blocked"):
+                       solver: str = "auto"):
     q = T_other[cols].astype(jnp.float32)            # (B, D, F)
     m = mask.astype(jnp.float32)
     w = alpha * vals * m                              # c − 1, masked
@@ -51,7 +51,7 @@ def _solve_ials_bucket(T_other, G_global, cols, vals, mask, alpha, reg,
 
 @partial(jax.jit, static_argnames=("solver",))
 def _solve_ials_heavy(T_other, G_global, cols, vals, mask, seg_start,
-                      seg_end, alpha, reg, solver: str = "blocked"):
+                      seg_end, alpha, reg, solver: str = "auto"):
     """Exact iALS solve for ultra-heavy rows: per-segment corrections
     accumulated via prefix-sum differences (see ops/als._solve_heavy)."""
     q = T_other[cols].astype(jnp.float32)            # (S, D, F)
@@ -73,7 +73,7 @@ def _solve_ials_heavy(T_other, G_global, cols, vals, mask, seg_start,
 
 
 def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
-                    solver: str = "blocked"):
+                    solver: str = "auto"):
     """Update every row of ``T_self`` (plain (N, F) factors) given frozen
     ``T_other``, from prepared rating-slice ``chunks`` (same contract as
     explicit ALS: ops/als.prepare_chunks[_device])."""

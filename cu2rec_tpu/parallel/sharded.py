@@ -408,6 +408,7 @@ class ShardedEngine:
         self.test_sh = shard_ratings(test_csr, self.n_dp, self.n_ip, mesh)
         self.U_pad = self.train_sh.n_users_padded
         self.I_pad = self.train_sh.n_items_padded
+        self._it_sh_placeholder = cfg.collision_policy != "twin"
         if cfg.collision_policy == "twin":
             self.it_sh = shard_ratings_item_major(train_csr, self.n_ip, mesh)
         else:  # tiny placeholders keep the program signature uniform
@@ -528,6 +529,15 @@ class ShardedEngine:
     def run(self, state, hp: Hyper, start_iter: int, n_steps: int):
         if isinstance(state, MFModel):
             state = self.prepare(state)
+        if (self.cfg.collision_policy == "twin"
+                and getattr(self, "_it_sh_placeholder", False)):
+            # The engine was built under a different policy, so it_sh is
+            # the tiny placeholder — running twin against it would
+            # silently freeze the item table (every has_i is False).
+            raise ValueError(
+                "collision_policy changed to 'twin' after ShardedEngine "
+                "construction; rebuild the engine so the item-major "
+                "shards exist")
         return self._run_jit(state, self._ratings_tuple(self.train_sh),
                              (self.it_sh.it_indptr, self.it_sh.it_pair),
                              hp, self.key, jnp.int32(start_iter),

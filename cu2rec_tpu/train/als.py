@@ -62,6 +62,17 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
 
     train_dev = to_device(train_csr)
     test_dev = to_device(test_csr)
+    # Eval-cost bounding at 100M-rating scale, same knobs as the SGD
+    # trainer (Config.train_eval_sample / test_eval_sample).
+    from cu2rec_tpu.train.trainer import _subsample_dev
+    train_eval_dev = train_dev
+    if cfg.train_eval_sample and train_csr.nnz > cfg.train_eval_sample:
+        train_eval_dev = _subsample_dev(train_csr, cfg.train_eval_sample,
+                                        cfg.seed)
+    test_eval_dev = test_dev
+    if cfg.test_eval_sample and test_csr.nnz > cfg.test_eval_sample:
+        test_eval_dev = _subsample_dev(test_csr, cfg.test_eval_sample,
+                                       cfg.seed + 1)
 
     if device_buckets is None:
         device_buckets = train_csr.nnz > 5_000_000
@@ -101,8 +112,8 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         pm = PackedModel(T_u=pm.T_u, T_i=T_i, global_bias=pm.global_bias,
                          n_factors=F)
 
-        train_rmse, train_mae = evaluate_packed(pm, train_dev)
-        test_rmse, test_mae = evaluate_packed(pm, test_dev)
+        train_rmse, train_mae = evaluate_packed(pm, train_eval_dev)
+        test_rmse, test_mae = evaluate_packed(pm, test_eval_dev)
         logger.log_eval(sweep, train_mae=train_mae, train_rmse=train_rmse,
                         test_mae=test_mae, test_rmse=test_rmse,
                         learning_rate=0.0)

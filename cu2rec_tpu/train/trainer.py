@@ -159,6 +159,19 @@ class SingleChipEngine:
             Q=Q, item_bias=item_bias))
 
     def prepare(self, model: MFModel):
+        # Grow a caller-supplied model to the engine's normalized dims
+        # (mirrors ShardedEngine.prepare's padding): a model built from
+        # the train split alone may be smaller than max(train, test) ids,
+        # and sampling/eval index the normalized CSRs.
+        du = self.n_users - model.P.shape[0]
+        di = self.n_items - model.Q.shape[0]
+        if du > 0 or di > 0:
+            model = MFModel(
+                P=jnp.pad(model.P, ((0, max(du, 0)), (0, 0))),
+                Q=jnp.pad(model.Q, ((0, max(di, 0)), (0, 0))),
+                user_bias=jnp.pad(model.user_bias, (0, max(du, 0))),
+                item_bias=jnp.pad(model.item_bias, (0, max(di, 0))),
+                global_bias=model.global_bias)
         if self.packed:
             from cu2rec_tpu.ops.packed import pack
             return pack(model)

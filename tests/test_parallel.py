@@ -277,3 +277,16 @@ def test_twin_end_to_end_train(toy_csr, toy_ratings):
                           logger=MetricsLogger(verbose=False))
     assert losses[60] < losses[1]
     assert np.isfinite(np.asarray(model.Q)).all()
+
+
+def test_twin_after_construction_raises(toy_csr):
+    """Flipping collision_policy to 'twin' after engine construction must
+    fail loudly — the item-major shards are placeholders, and running
+    twin against them would silently freeze the item table."""
+    cfg = Config(n_factors=8, collision_policy="first_wins")
+    engine = ShardedEngine(toy_csr, toy_csr, cfg, mesh=make_mesh(2, 1))
+    model = init_model(toy_csr.n_users, toy_csr.n_items, cfg.n_factors,
+                       3.5, seed=cfg.seed)
+    cfg.collision_policy = "twin"
+    with pytest.raises(ValueError, match="twin"):
+        engine.run(model, HP, 0, 2)

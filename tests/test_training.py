@@ -156,3 +156,25 @@ def test_single_chip_mismatched_test_dims(toy_csr, toy_ratings):
     assert model.P.shape[0] == extra_u
     assert model.Q.shape[0] == extra_i
     assert np.isfinite(list(losses.values())).all()
+
+
+def test_engine_grows_supplied_model():
+    """A caller-supplied model sized from the train split alone must be
+    grown to the engine's normalized (max over train/test) dims — the
+    r2 dimension guard otherwise only protected the model=None path."""
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.models.state import init_model
+
+    train_csr = csr_from_arrays(
+        np.array([0, 0, 1, 2], np.int32), np.array([0, 1, 1, 2], np.int32),
+        np.array([3.0, 4.0, 5.0, 2.0], np.float32), 3, 3)
+    # test split's max ids exceed train's
+    test_csr = csr_from_arrays(
+        np.array([3, 4], np.int32), np.array([3, 4], np.int32),
+        np.array([4.0, 3.0], np.float32), 5, 5)
+    model = init_model(3, 3, 4, 3.5, seed=1)
+    cfg = Config(n_factors=4, total_iterations=3, check_error=10)
+    out, losses = train(train_csr, test_csr, cfg, 3.5, model=model,
+                        logger=MetricsLogger())
+    assert out.P.shape[0] == 5 and out.Q.shape[0] == 5
+    assert np.isfinite(list(losses.values())).all()
