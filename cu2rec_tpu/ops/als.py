@@ -315,7 +315,7 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
 def als_half_sweep(T_self, T_other, bucketed, mu,
                    factor_reg: float, bias_reg: float, n_factors: int,
                    weight_by_degree: bool = True, row_sharding=None,
-                   solver: str = "auto"):
+                   solver: str = "auto", fused: bool = True):
     """Update every row of ``T_self`` given frozen ``T_other``.
 
     ``bucketed`` may be a host-side :class:`BucketedRows` (chunks prepared
@@ -325,35 +325,87 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
     With ``weight_by_degree`` the ridge term is scaled by each row's
     degree (λ·|S|, the Zhou et al. weighted-λ regularization — the ALS
     analogue of the SGD reg being applied once per sampled update).
+
+    ``fused`` runs all chunk solves in ONE jitted program per half-sweep
+    instead of one dispatch per chunk (~14 chunks × ~7 ms dispatch
+    latency through this environment's tunneled runtime added ~0.2 s to
+    every ML-20M sweep; it also lets XLA overlap chunk work).
     """
     F = n_factors
-    W = T_self.shape[1]
-    T_new = T_self
     reg = jnp.concatenate([jnp.full((F,), factor_reg, jnp.float32),
                            jnp.full((1,), bias_reg, jnp.float32)])
     if isinstance(bucketed, BucketedRows):
         chunks = prepare_chunks(bucketed, F, T_self.shape[0], row_sharding)
     else:
         chunks = bucketed
-    for ch in chunks:
-        if ch[0] == "reg":
-            _, cols, vals, mask, rows = ch
-            if weight_by_degree:
-                deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
-            else:
-                deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
-            theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
-                                           reg, deg, solver=solver)
-        else:
-            _, cols, vals, mask, rows, s0, s1, degv = ch
-            if not weight_by_degree:
-                degv = jnp.ones_like(degv)
-            theta = _solve_heavy(T_other, cols, vals, mask, mu, reg,
-                                 s0, s1, degv, solver=solver)
-        rowvec = jnp.zeros((theta.shape[0], W), dtype=T_self.dtype)
-        rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_self.dtype))
-        rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_self.dtype))
-        T_new = T_new.at[rows].set(rowvec, mode="drop")
+    regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
+    heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
+    if fused:
+        return _als_half_sweep_fused(
+            T_self, T_other, regs, heavies, jnp.float32(mu), reg,
+            n_factors=F, weight_by_degree=weight_by_degree, solver=solver)
+    T_new = T_self
+    for ch in regs:
+        T_new = _als_apply_reg(T_new, T_other, ch, mu, reg, F,
+                               weight_by_degree, solver)
+    for ch in heavies:
+        T_new = _als_apply_heavy(T_new, T_other, ch, mu, reg, F,
+                                 weight_by_degree, solver)
+    return T_new
+
+
+def _scatter_theta(T_new, theta, rows, F: int):
+    """Write solved [p | b] rows back into the packed table (padding rows
+    carry out-of-bounds ids → mode='drop')."""
+    W = T_new.shape[1]
+    rowvec = jnp.zeros((theta.shape[0], W), dtype=T_new.dtype)
+    rowvec = rowvec.at[:, :F].set(theta[:, :F].astype(T_new.dtype))
+    rowvec = rowvec.at[:, F].set(theta[:, F].astype(T_new.dtype))
+    return T_new.at[rows].set(rowvec, mode="drop")
+
+
+def _als_apply_reg(T_new, T_other, ch, mu, reg, F, weight_by_degree,
+                   solver):
+    cols, vals, mask, rows = ch
+    if weight_by_degree:
+        deg = mask.sum(axis=1).astype(jnp.float32)[:, None]
+    else:
+        deg = jnp.ones((cols.shape[0], 1), dtype=jnp.float32)
+    theta = _solve_bucket_weighted(T_other, cols, vals, mask, mu,
+                                   reg, deg, solver=solver)
+    return _scatter_theta(T_new, theta, rows, F)
+
+
+def _als_apply_heavy(T_new, T_other, ch, mu, reg, F, weight_by_degree,
+                     solver):
+    cols, vals, mask, rows, s0, s1, degv = ch
+    if not weight_by_degree:
+        degv = jnp.ones_like(degv)
+    theta = _solve_heavy(T_other, cols, vals, mask, mu, reg,
+                         s0, s1, degv, solver=solver)
+    return _scatter_theta(T_new, theta, rows, F)
+
+
+@partial(jax.jit,
+         static_argnames=("n_factors", "weight_by_degree", "solver"))
+def _als_half_sweep_fused(T_self, T_other, regs, heavies, mu, reg, *,
+                          n_factors: int, weight_by_degree: bool,
+                          solver: str):
+    # Chunks are independent reads of T_other, so without a barrier XLA
+    # hoists every chunk's (rows × max_deg, W) gather to the program
+    # start — ~14 live 0.3 GB temporaries OOMed a 16 GB chip (measured:
+    # "Used 41.96G of 15.75G hbm"). Chaining each chunk's T_other read
+    # on the previous chunk's T_new serializes them: peak HBM = tables
+    # + ONE chunk's temps, same as the per-dispatch path.
+    T_new = T_self
+    for ch in regs:
+        T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        T_new = _als_apply_reg(T_new, T_dep, ch, mu, reg, n_factors,
+                               weight_by_degree, solver)
+    for ch in heavies:
+        T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        T_new = _als_apply_heavy(T_new, T_dep, ch, mu, reg, n_factors,
+                                 weight_by_degree, solver)
     return T_new
 
 

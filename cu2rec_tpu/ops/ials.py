@@ -73,22 +73,42 @@ def _solve_ials_heavy(T_other, G_global, cols, vals, mask, seg_start,
 
 
 def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
-                    solver: str = "auto"):
+                    solver: str = "auto", fused: bool = True):
     """Update every row of ``T_self`` (plain (N, F) factors) given frozen
     ``T_other``, from prepared rating-slice ``chunks`` (same contract as
-    explicit ALS: ops/als.prepare_chunks[_device])."""
+    explicit ALS: ops/als.prepare_chunks[_device]).  ``fused`` runs every
+    chunk solve in one jitted program per half-sweep (see
+    ops/als.als_half_sweep)."""
+    regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
+    heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
+    if fused:
+        return _ials_half_sweep_fused(T_self, T_other, regs, heavies,
+                                      jnp.float32(alpha), jnp.float32(reg),
+                                      solver=solver)
+    return _ials_sweep_body(T_self, T_other, regs, heavies,
+                            jnp.float32(alpha), jnp.float32(reg), solver)
+
+
+def _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver):
+    # Barrier per chunk: stops XLA hoisting every chunk's T_other gather
+    # to the program start when the body is jitted whole (see
+    # ops/als._als_half_sweep_fused — the unserialized form OOMed HBM).
     G = gramian(T_other)
-    a = jnp.float32(alpha)
-    r = jnp.float32(reg)
     T_new = T_self
-    for ch in chunks:
-        if ch[0] == "reg":
-            _, cols, vals, mask, rows = ch
-            theta = _solve_ials_bucket(T_other, G, cols, vals, mask, a, r,
-                                       solver=solver)
-        else:
-            _, cols, vals, mask, rows, s0, s1, _deg = ch
-            theta = _solve_ials_heavy(T_other, G, cols, vals, mask, s0, s1,
-                                      a, r, solver=solver)
+    for cols, vals, mask, rows in regs:
+        T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        theta = _solve_ials_bucket(T_dep, G, cols, vals, mask, a, r,
+                                   solver=solver)
+        T_new = T_new.at[rows].set(theta.astype(T_self.dtype), mode="drop")
+    for cols, vals, mask, rows, s0, s1, _deg in heavies:
+        T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        theta = _solve_ials_heavy(T_dep, G, cols, vals, mask, s0, s1,
+                                  a, r, solver=solver)
         T_new = T_new.at[rows].set(theta.astype(T_self.dtype), mode="drop")
     return T_new
+
+
+@partial(jax.jit, static_argnames=("solver",))
+def _ials_half_sweep_fused(T_self, T_other, regs, heavies, a, r, *,
+                           solver: str):
+    return _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver)

@@ -41,6 +41,9 @@ def main() -> int:
     p.add_argument("--factors", type=int, default=100)
     p.add_argument("--sweeps", type=int, default=3)
     p.add_argument("--solvers", nargs="+", default=["blocked", "pallas"])
+    p.add_argument("--fused", type=int, default=1,
+                   help="1 = one jitted program per half-sweep, "
+                        "0 = one dispatch per chunk")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -67,9 +70,9 @@ def main() -> int:
     for solver in args.solvers:
         def sweep(T_u, T_i):
             T_u = als_half_sweep(T_u, T_i, user_buckets, mu, 0.02, 0.02,
-                                 F, solver=solver)
+                                 F, solver=solver, fused=bool(args.fused))
             T_i = als_half_sweep(T_i, T_u, item_buckets, mu, 0.02, 0.02,
-                                 F, solver=solver)
+                                 F, solver=solver, fused=bool(args.fused))
             return T_u, T_i
 
         T_u, T_i = pm.T_u, pm.T_i
@@ -82,6 +85,7 @@ def main() -> int:
         dt = (time.perf_counter() - t0) / args.sweeps
         rec = {"kind": "als_sweep", "solver": solver, "users": U,
                "items": I, "ratings": R, "factors": F,
+               "fused": bool(args.fused),
                "s_per_sweep": dt, "rows_per_s": (U + I) / dt,
                "backend": jax.default_backend()}
         records.append(rec)

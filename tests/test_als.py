@@ -276,3 +276,21 @@ def test_heavy_chunks_uniform_shapes():
                             F, csr.n_users, budget=8192 * (F + 1))
     heavy_shapes = {c[1].shape for c in chunks if c[0] == "heavy"}
     assert len(heavy_shapes) == 1, heavy_shapes
+
+
+def test_fused_half_sweep_matches_unfused(toy_csr):
+    """One-program-per-half-sweep fusion is a pure dispatch optimization:
+    outputs must match the per-chunk dispatch path exactly."""
+    import jax.numpy as jnp
+
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.ops.als import als_half_sweep, bucket_csr
+    from cu2rec_tpu.ops.packed import pack
+
+    pm = pack(init_model(toy_csr.n_users, toy_csr.n_items, 8, 3.5, seed=2))
+    buckets = bucket_csr(toy_csr.indptr, toy_csr.indices, toy_csr.data)
+    outs = [np.asarray(als_half_sweep(pm.T_u, pm.T_i, buckets,
+                                      jnp.float32(3.5), 0.05, 0.05, 8,
+                                      fused=f))
+            for f in (True, False)]
+    np.testing.assert_array_equal(outs[0], outs[1])
