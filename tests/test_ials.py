@@ -161,3 +161,22 @@ def test_ials_learns_implicit_planted_ranking():
     # commit log) — require clearly past the start, with slack
     assert recall > 0.10, f"iALS failed to learn planted ranking: {recall}"
     assert recall > (1.0 - losses[1]) + 0.03
+
+
+def test_ials_fused_matches_unfused(toy_csr):
+    """One-program-per-half-sweep fusion (with optimization-barrier chunk
+    serialization) is a pure dispatch optimization: outputs must match the
+    per-chunk dispatch path exactly."""
+    from cu2rec_tpu.ops.als import bucket_csr, prepare_chunks
+    from cu2rec_tpu.ops.ials import ials_half_sweep
+
+    F = 3
+    model = init_model(toy_csr.n_users, toy_csr.n_items, F, 0.0, seed=7)
+    X = jnp.asarray(model.P, jnp.float32)
+    Y = jnp.asarray(model.Q, jnp.float32)
+    chunks = prepare_chunks(
+        bucket_csr(toy_csr.indptr, toy_csr.indices, toy_csr.data),
+        F, toy_csr.n_users)
+    outs = [np.asarray(ials_half_sweep(X, Y, chunks, 10.0, 0.5, fused=f))
+            for f in (True, False)]
+    np.testing.assert_array_equal(outs[0], outs[1])
