@@ -119,7 +119,9 @@ def main() -> None:
     # same F.  (The twin's per-update rate is otherwise independent of
     # U/I/R scale, so measuring it on ML-100K is fine.)
     from cu2rec_tpu.train.reference import sequential_train
-    cpu_cfg = Config(n_factors=F, total_iterations=3, check_error=10**9)
+    warm_cfg = Config(n_factors=F, total_iterations=1, check_error=10**9)
+    sequential_train(csr, csr, warm_cfg, rd.global_bias, verbose=False)
+    cpu_cfg = Config(n_factors=F, total_iterations=10, check_error=10**9)
     t0 = time.perf_counter()
     sequential_train(csr, csr, cpu_cfg, rd.global_bias, verbose=False)
     cpu_dt = time.perf_counter() - t0
