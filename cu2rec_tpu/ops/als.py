@@ -340,10 +340,18 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
         chunks = bucketed
     regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
     heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
-    if fused:
-        return _als_half_sweep_fused(
-            T_self, T_other, regs, heavies, jnp.float32(mu), reg,
-            n_factors=F, weight_by_degree=weight_by_degree, solver=solver)
+    if fused and not _FUSED_DISABLED:
+        try:
+            return _als_half_sweep_fused(
+                T_self, T_other, regs, heavies, jnp.float32(mu), reg,
+                n_factors=F, weight_by_degree=weight_by_degree,
+                solver=solver)
+        except jax.errors.JaxRuntimeError as e:
+            # At Netflix scale (100M ratings) the ONE-program half-sweep
+            # can OOM the compiler itself (observed: remote compile helper
+            # SIGKILLed); the per-chunk path computes identical results.
+            # Sticky: don't re-pay a failed multi-minute compile per sweep.
+            _disable_fused(e)
     T_new = T_self
     for ch in regs:
         T_new = _als_apply_reg(T_new, T_other, ch, mu, reg, F,
@@ -352,6 +360,20 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
         T_new = _als_apply_heavy(T_new, T_other, ch, mu, reg, F,
                                  weight_by_degree, solver)
     return T_new
+
+
+# Process-wide kill switch for fused half-sweeps, set on the first failed
+# fused compile (ALS and iALS share it — same program shape hazard).
+_FUSED_DISABLED = False
+
+
+def _disable_fused(exc: Exception) -> None:
+    global _FUSED_DISABLED
+    _FUSED_DISABLED = True
+    import warnings
+    warnings.warn(
+        "fused half-sweep compilation failed; falling back to per-chunk "
+        f"dispatch for the rest of this process: {str(exc)[:200]}")
 
 
 def _scatter_theta(T_new, theta, rows, F: int):

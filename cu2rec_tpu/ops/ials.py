@@ -79,12 +79,16 @@ def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
     explicit ALS: ops/als.prepare_chunks[_device]).  ``fused`` runs every
     chunk solve in one jitted program per half-sweep (see
     ops/als.als_half_sweep)."""
+    from cu2rec_tpu.ops import als as _als
     regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
     heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
-    if fused:
-        return _ials_half_sweep_fused(T_self, T_other, regs, heavies,
-                                      jnp.float32(alpha), jnp.float32(reg),
-                                      solver=solver)
+    if fused and not _als._FUSED_DISABLED:
+        try:
+            return _ials_half_sweep_fused(
+                T_self, T_other, regs, heavies, jnp.float32(alpha),
+                jnp.float32(reg), solver=solver)
+        except jax.errors.JaxRuntimeError as e:
+            _als._disable_fused(e)  # shared sticky kill switch
     return _ials_sweep_body(T_self, T_other, regs, heavies,
                             jnp.float32(alpha), jnp.float32(reg), solver)
 

@@ -294,3 +294,37 @@ def test_fused_half_sweep_matches_unfused(toy_csr):
                                       fused=f))
             for f in (True, False)]
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_fused_compile_failure_falls_back(toy_csr, monkeypatch):
+    """A failed fused compile (e.g. compiler OOM at 100M-rating scale)
+    must fall back to per-chunk dispatch — same results — and stick so
+    later sweeps don't re-pay the failed compile."""
+    import jax
+    import jax.numpy as jnp
+
+    import cu2rec_tpu.ops.als as als_mod
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.ops.packed import pack
+
+    pm = pack(init_model(toy_csr.n_users, toy_csr.n_items, 8, 3.5, seed=2))
+    buckets = als_mod.bucket_csr(toy_csr.indptr, toy_csr.indices,
+                                 toy_csr.data)
+    want = np.asarray(als_mod.als_half_sweep(
+        pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
+        fused=False))
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("synthetic compile failure")
+
+    monkeypatch.setattr(als_mod, "_als_half_sweep_fused", boom)
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED", False)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = np.asarray(als_mod.als_half_sweep(
+            pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
+            fused=True))
+    np.testing.assert_array_equal(got, want)
+    assert als_mod._FUSED_DISABLED
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED", False)
