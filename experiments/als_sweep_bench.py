@@ -44,6 +44,11 @@ def main() -> int:
     p.add_argument("--fused", type=int, default=1,
                    help="1 = one jitted program per half-sweep, "
                         "0 = one dispatch per chunk")
+    p.add_argument("--algo", choices=["als", "ials"], default="als",
+                   help="ials times the implicit weighted sweeps "
+                        "(ops/ials.py) on the same bucketed data")
+    p.add_argument("--alpha", type=float, default=40.0,
+                   help="iALS confidence weight")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -67,15 +72,34 @@ def main() -> int:
 
     out_path = os.path.join(ROOT, "results", "als-sweep.jsonl")
     records = []
+    if args.algo == "ials":
+        from cu2rec_tpu.ops.ials import ials_half_sweep
     for solver in args.solvers:
-        def sweep(T_u, T_i):
-            T_u = als_half_sweep(T_u, T_i, user_buckets, mu, 0.02, 0.02,
-                                 F, solver=solver, fused=bool(args.fused))
-            T_i = als_half_sweep(T_i, T_u, item_buckets, mu, 0.02, 0.02,
-                                 F, solver=solver, fused=bool(args.fused))
-            return T_u, T_i
+        if args.algo == "ials":
+            def sweep(X_u, Y_i, _a=float(args.alpha)):
+                X_u = ials_half_sweep(X_u, Y_i, user_buckets, _a, 0.02,
+                                      solver=solver,
+                                      fused=bool(args.fused))
+                Y_i = ials_half_sweep(Y_i, X_u, item_buckets, _a, 0.02,
+                                      solver=solver,
+                                      fused=bool(args.fused))
+                return X_u, Y_i
+        else:
+            def sweep(T_u, T_i):
+                T_u = als_half_sweep(T_u, T_i, user_buckets, mu, 0.02,
+                                     0.02, F, solver=solver,
+                                     fused=bool(args.fused))
+                T_i = als_half_sweep(T_i, T_u, item_buckets, mu, 0.02,
+                                     0.02, F, solver=solver,
+                                     fused=bool(args.fused))
+                return T_u, T_i
 
-        T_u, T_i = pm.T_u, pm.T_i
+        if args.algo == "ials":
+            # iALS sweeps take plain (N, F) factor tables (train/ials.py).
+            T_u = jnp.asarray(model.P, jnp.float32)
+            T_i = jnp.asarray(model.Q, jnp.float32)
+        else:
+            T_u, T_i = pm.T_u, pm.T_i
         T_u, T_i = sweep(T_u, T_i)          # warmup / compile
         fetch_barrier(T_u)
         t0 = time.perf_counter()
@@ -83,8 +107,8 @@ def main() -> int:
             T_u, T_i = sweep(T_u, T_i)
         fetch_barrier(T_u)
         dt = (time.perf_counter() - t0) / args.sweeps
-        rec = {"kind": "als_sweep", "solver": solver, "users": U,
-               "items": I, "ratings": R, "factors": F,
+        rec = {"kind": "als_sweep", "algo": args.algo, "solver": solver,
+               "users": U, "items": I, "ratings": R, "factors": F,
                "fused": bool(args.fused),
                "s_per_sweep": dt, "rows_per_s": (U + I) / dt,
                "backend": jax.default_backend()}
