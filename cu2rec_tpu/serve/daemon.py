@@ -1,0 +1,339 @@
+"""Warm-pool serving daemon: a long-lived process around the sharded
+serving engine with cross-request micro-batching.
+
+The reference's serving story is one process launch per user
+(predict.cu:72-133: load Q/item_bias/global_bias, partial-fit, score,
+sort, print, exit) — at TPU scale that pays process start + program
+compile per request.  The daemon inverts it: the catalog is uploaded and
+the programs are compiled ONCE, then requests stream in over stdio or a
+unix socket and are coalesced into engine-sized batches.
+
+Micro-batching: the dispatcher blocks for the first pending request,
+then drains everything that arrives within ``window_ms`` (up to
+``max_batch``), groups compatible requests (same op / k / iteration
+count), and executes each group as ONE engine call — fold-ins ride one
+``fold_in_and_recommend`` over the ip-sharded catalog, known-user
+recommends ride one MXU scoring batch.  Shape-padded program caching in
+the engine means a handful of compiled programs serve any traffic mix.
+
+Request protocol (JSONL, one object per line):
+
+    {"id": 1, "op": "fold_in", "items": [3, 7], "ratings": [5.0, 3.5],
+     "k": 10, "iterations": 500}
+    {"id": 2, "op": "recommend", "user": 42, "k": 10}
+    {"id": 3, "op": "stats"}
+
+Responses (one JSON object per line, in request order per connection):
+
+    {"id": 1, "items": [...], "scores": [...]}
+    {"id": 3, "n_items": ..., "requests": ..., "batches": ...}
+    {"id": 4, "error": "..."}
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from cu2rec_tpu.utils.config import Config
+
+
+@dataclass
+class _Pending:
+    req: dict
+    future: Future = field(default_factory=Future)
+
+
+class ServingDaemon:
+    """Micro-batching request broker over a ``ShardedServingEngine``.
+
+    ``submit`` is thread-safe and returns a ``Future`` resolving to the
+    response dict.  ``process_once`` executes one drain-and-dispatch
+    cycle synchronously (tests drive this directly); ``start`` runs it
+    on a background thread.
+    """
+
+    def __init__(self, engine, train_csr=None, cfg: Config | None = None,
+                 max_batch: int = 512, window_ms: float = 4.0,
+                 default_k: int = 10):
+        self.engine = engine
+        self.train_csr = train_csr
+        self.cfg = cfg or Config()
+        self.max_batch = max_batch
+        self.window_ms = window_ms
+        self.default_k = default_k
+        self._queue: queue.Queue[_Pending] = queue.Queue()
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_batched_requests = 0
+
+    # -- submission --------------------------------------------------------
+    def submit(self, req: dict) -> Future:
+        """Validate and enqueue one request; returns its response Future."""
+        fut = Future()
+        err = self._validate(req)
+        if err is not None:
+            fut.set_result({"id": req.get("id"), "error": err})
+            return fut
+        self.n_requests += 1
+        if req["op"] == "stats":
+            fut.set_result(self._stats(req))
+            return fut
+        self._queue.put(_Pending(req, fut))
+        return fut
+
+    def _validate(self, req: dict) -> str | None:
+        if not isinstance(req, dict):
+            return "request must be a JSON object"
+        op = req.get("op")
+        if op == "fold_in":
+            items = req.get("items")
+            ratings = req.get("ratings")
+            if not items or not isinstance(items, list):
+                return "fold_in needs a non-empty 'items' list"
+            if not isinstance(ratings, list) or len(ratings) != len(items):
+                return "'ratings' must match 'items' in length"
+            n_items = self.engine.n_items
+            if any(not (0 <= int(i) < n_items) for i in items):
+                return f"item ids must be in [0, {n_items})"
+        elif op == "recommend":
+            u = req.get("user")
+            n_users = int(np.shape(self.engine.P)[0])
+            if not isinstance(u, int) or not (0 <= u < n_users):
+                return f"'user' must be an int in [0, {n_users})"
+        elif op == "stats":
+            pass
+        else:
+            return f"unknown op: {op!r}"
+        return None
+
+    def _stats(self, req: dict) -> dict:
+        return {
+            "id": req.get("id"),
+            "n_items": self.engine.n_items,
+            "n_factors": self.engine.F,
+            "n_shards": self.engine.n_ip,
+            "requests": self.n_requests,
+            "batches": self.n_batches,
+            "mean_batch": (self.n_batched_requests / self.n_batches
+                           if self.n_batches else 0.0),
+        }
+
+    # -- dispatch ----------------------------------------------------------
+    def process_once(self, block: bool = True,
+                     timeout: float | None = None) -> int:
+        """One drain-and-dispatch cycle; returns #requests processed."""
+        try:
+            first = self._queue.get(block=block, timeout=timeout)
+        except queue.Empty:
+            return 0
+        pend = [first]
+        deadline = time.monotonic() + self.window_ms / 1e3
+        while len(pend) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                pend.append(self._queue.get(
+                    block=remaining > 0,
+                    timeout=remaining if remaining > 0 else None))
+            except queue.Empty:
+                break
+        groups: dict[tuple, list[_Pending]] = {}
+        for p in pend:
+            r = p.req
+            k = int(r.get("k", self.default_k))
+            if r["op"] == "fold_in":
+                key = ("fold_in", k,
+                       int(r.get("iterations", self.cfg.total_iterations)))
+            else:
+                key = ("recommend", k)
+            groups.setdefault(key, []).append(p)
+        for key, grp in groups.items():
+            try:
+                if key[0] == "fold_in":
+                    self._run_fold_in(grp, k=key[1], iterations=key[2])
+                else:
+                    self._run_recommend(grp, k=key[1])
+            except Exception as e:  # noqa: BLE001 — fail the group, not the daemon
+                for p in grp:
+                    if not p.future.done():
+                        p.future.set_result(
+                            {"id": p.req.get("id"), "error": repr(e)})
+            self.n_batches += 1
+            self.n_batched_requests += len(grp)
+        return len(pend)
+
+    @staticmethod
+    def _response(req: dict, ids_row, scores_row) -> dict:
+        # Fewer than k unrated items leaves surplus slots carrying the
+        # engine's mask sentinel (serve/recommend.py contract: < -1e30);
+        # trim them rather than surface sentinel "recommendations".
+        keep = scores_row > -1e30
+        return {
+            "id": req.get("id"),
+            "items": [int(i) for i in ids_row[keep]],
+            "scores": [round(float(s), 6) for s in scores_row[keep]],
+        }
+
+    def _run_fold_in(self, grp: list[_Pending], k: int,
+                     iterations: int) -> None:
+        B = len(grp)
+        D = max(len(p.req["items"]) for p in grp)
+        rated = np.zeros((B, D), np.int32)
+        vals = np.zeros((B, D), np.float32)
+        mask = np.zeros((B, D), bool)
+        for b, p in enumerate(grp):
+            n = len(p.req["items"])
+            rated[b, :n] = p.req["items"]
+            vals[b, :n] = p.req["ratings"]
+            mask[b, :n] = True
+        import dataclasses
+        cfg = dataclasses.replace(self.cfg, total_iterations=iterations,
+                                  is_train=False)
+        scores, ids = self.engine.fold_in_and_recommend(
+            rated, vals, mask, cfg=cfg, k=k)
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        for b, p in enumerate(grp):
+            p.future.set_result(self._response(p.req, ids[b], scores[b]))
+
+    def _run_recommend(self, grp: list[_Pending], k: int) -> None:
+        uids = np.asarray([p.req["user"] for p in grp], np.int64)
+        if self.train_csr is not None:
+            scores, ids = self.engine.recommend_known(
+                uids, self.train_csr, k=k)
+        else:
+            # No train CSR loaded: nothing to filter, score the raw rows.
+            import jax.numpy as jnp
+            rated = np.zeros((len(grp), 1), np.int32)
+            rmask = np.zeros((len(grp), 1), bool)
+            scores, ids = self.engine.recommend(
+                jnp.asarray(self.engine.P)[uids],
+                jnp.asarray(self.engine.user_bias)[uids],
+                rated, rmask, k=k)
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        for b, p in enumerate(grp):
+            p.future.set_result(self._response(p.req, ids[b], scores[b]))
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.is_set():
+                self.process_once(block=True, timeout=0.05)
+
+        self._thread = threading.Thread(target=loop, daemon=True,
+                                        name="cu2rec-serve-dispatch")
+        self._thread.start()
+
+    def close(self) -> None:
+        if self._thread is None:
+            return
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        self._thread = None
+        # Drain anything still queued so no future hangs forever.
+        while self.process_once(block=False):
+            pass
+
+
+# -- transports --------------------------------------------------------------
+
+def run_stdio(daemon: ServingDaemon, infile, outfile) -> int:
+    """Serve JSONL requests from ``infile`` to ``outfile`` until EOF.
+
+    Responses are written in request order.  The reader keeps submitting
+    while earlier responses are still pending, so consecutive requests
+    coalesce into engine batches.
+    """
+    daemon.start()
+    try:
+        run_stdio_connection(daemon, infile, outfile)
+    finally:
+        daemon.close()
+    return 0
+
+
+def run_socket(daemon: ServingDaemon, path: str) -> int:
+    """Serve JSONL over a unix socket; one thread per connection, batching
+    shared across connections (the warm-pool).  Runs until SIGINT."""
+    import os
+    import socket
+
+    if os.path.exists(path):
+        os.unlink(path)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(64)
+    daemon.start()
+    print(f"serving on {path}", flush=True)
+
+    def handle(conn):
+        rf = conn.makefile("r", encoding="utf-8")
+        wf = conn.makefile("w", encoding="utf-8")
+        try:
+            run_stdio_connection(daemon, rf, wf)
+        finally:
+            conn.close()
+
+    try:
+        while True:
+            conn, _ = srv.accept()
+            threading.Thread(target=handle, args=(conn,),
+                             daemon=True).start()
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        daemon.close()
+        srv.close()
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def run_stdio_connection(daemon: ServingDaemon, infile, outfile) -> None:
+    """Per-connection JSONL pump (daemon lifecycle managed by caller)."""
+    pending: queue.Queue = queue.Queue()
+    done = threading.Event()
+
+    def writer():
+        while True:
+            fut = pending.get()
+            if fut is None:
+                break
+            try:
+                resp = fut.result()
+                outfile.write(json.dumps(resp) + "\n")
+                outfile.flush()
+            except (BrokenPipeError, ValueError):
+                break
+        done.set()
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+    try:
+        for line in infile:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+            except json.JSONDecodeError as e:
+                fut = Future()
+                fut.set_result({"id": None, "error": f"bad json: {e}"})
+                pending.put(fut)
+                continue
+            pending.put(daemon.submit(req))
+    finally:
+        pending.put(None)
+        done.wait(timeout=60.0)

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Warm-pool daemon probe: end-to-end request throughput through the
+micro-batching ServingDaemon (serve/daemon.py) on a synthetic catalog.
+
+Measures the thing the daemon exists for: many small concurrent requests
+(the reference served ONE user per process launch, predict.cu:72-133)
+coalescing into engine-sized batches.  Two regimes per op:
+
+  - serial: one request in flight at a time (batch size 1 — what a naive
+    per-request dispatch achieves; still amortizes compile, unlike the
+    reference's process-per-user flow),
+  - pooled: ``--clients`` threads keep requests in flight; the dispatcher
+    drains them into batches.
+
+Appends to results/daemon-probe.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--items", type=int, default=1_000_000)
+    p.add_argument("--users", type=int, default=10_000)
+    p.add_argument("--factors", type=int, default=64)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--requests", type=int, default=2048)
+    p.add_argument("--clients", type=int, default=64)
+    p.add_argument("--serial", type=int, default=128,
+                   help="#requests for the serial baseline")
+    p.add_argument("--foldin-iters", type=int, default=100)
+    p.add_argument("--window-ms", type=float, default=4.0)
+    p.add_argument("--max-batch", type=int, default=512)
+    args = p.parse_args()
+
+    from cu2rec_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import numpy as np
+
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.serve.daemon import ServingDaemon
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+    from cu2rec_tpu.utils.config import Config
+
+    I, U, F = args.items, args.users, args.factors
+    model = init_model(U, I, F, 3.5, seed=0)
+    t0 = time.perf_counter()
+    eng = ShardedServingEngine(model)
+    cfg = Config(total_iterations=args.foldin_iters, learning_rate=0.05,
+                 n_factors=F, is_train=False)
+    print(f"engine up: {U}x{I} W={eng.W} ip={eng.n_ip} "
+          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    rng = np.random.default_rng(0)
+
+    def make_req(i: int, op: str) -> dict:
+        if op == "recommend":
+            return {"id": i, "op": "recommend",
+                    "user": int(rng.integers(0, U)), "k": args.k}
+        d = int(rng.integers(8, 33))
+        return {"id": i, "op": "fold_in",
+                "items": [int(x) for x in rng.choice(I, d, replace=False)],
+                "ratings": [float(x) for x in rng.uniform(1, 5, d)],
+                "k": args.k, "iterations": args.foldin_iters}
+
+    results = []
+    for op in ("recommend", "fold_in"):
+        daemon = ServingDaemon(eng, cfg=cfg, max_batch=args.max_batch,
+                               window_ms=args.window_ms, default_k=args.k)
+        daemon.start()
+        # warmup/compile: the serial shape (B=1) plus a pooled-size burst
+        # (B pads to the batch the clients will actually form), untimed.
+        daemon.submit(make_req(-1, op)).result(timeout=600)
+        warm = [daemon.submit(make_req(-2 - w, op))
+                for w in range(args.clients)]
+        for fut in warm:
+            fut.result(timeout=600)
+
+        # serial: one in flight at a time
+        t0 = time.perf_counter()
+        for i in range(args.serial):
+            daemon.submit(make_req(i, op)).result(timeout=600)
+        serial_dt = time.perf_counter() - t0
+
+        # pooled: --clients threads, each owns requests/clients sends
+        n = args.requests
+        per = n // args.clients
+        errs: list = []
+
+        def client(cid: int) -> None:
+            for j in range(per):
+                r = daemon.submit(make_req(cid * per + j, op)).result(
+                    timeout=600)
+                if "error" in r:
+                    errs.append(r)
+
+        b0, r0 = daemon.n_batches, daemon.n_batched_requests
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        pooled_dt = time.perf_counter() - t0
+        daemon.close()
+        assert not errs, errs[:3]
+        nb = daemon.n_batches - b0
+        rec = {"kind": "daemon_probe", "op": op, "n_items": I,
+               "n_factors": F, "ip": eng.n_ip, "k": args.k,
+               "serial_req_per_s": round(args.serial / serial_dt, 1),
+               "pooled_req_per_s": round(per * args.clients / pooled_dt, 1),
+               "clients": args.clients,
+               "mean_batch": round((daemon.n_batched_requests - r0)
+                                   / max(nb, 1), 1),
+               "window_ms": args.window_ms,
+               "foldin_iterations": args.foldin_iters,
+               "backend": jax.default_backend()}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    res = os.path.join(os.path.dirname(__file__), os.pardir, "results",
+                       "daemon-probe.jsonl")
+    os.makedirs(os.path.dirname(res), exist_ok=True)
+    with open(res, "a") as f:
+        for r in results:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

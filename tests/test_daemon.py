@@ -1,0 +1,259 @@
+"""Warm-pool serving daemon tests: micro-batching, grouping, protocol
+errors, stdio transport, and the ``cu2rec-serve`` CLI.
+
+The daemon is the TPU-idiomatic replacement for the reference's
+process-per-user serving flow (predict.cu:72-133): one engine, compiled
+programs reused across requests, concurrent requests coalesced into
+engine-sized batches.  Correctness bar: a batched daemon response must
+equal the same engine call issued directly with the same grouping.
+"""
+
+import io
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from cu2rec_tpu.train.trainer import train
+from cu2rec_tpu.utils.config import Config
+from cu2rec_tpu.utils.metrics import MetricsLogger
+
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="module")
+def served():
+    import jax
+    from cu2rec_tpu.data import build_csr, read_ratings_csv
+    from cu2rec_tpu.serve.daemon import ServingDaemon
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    rd = read_ratings_csv(str(DATA_DIR / "test_ratings.csv"))
+    csr = build_csr(rd)
+    cfg = Config(total_iterations=200, n_factors=4, learning_rate=0.05,
+                 check_error=200)
+    model, _ = train(csr, csr, cfg, rd.global_bias,
+                     logger=MetricsLogger(verbose=False))
+    engine = ShardedServingEngine(model, devices=jax.devices()[:2])
+    fold_cfg = cfg.replace(total_iterations=30, cur_iterations=0,
+                           is_train=False)
+    daemon = ServingDaemon(engine, train_csr=csr, cfg=fold_cfg,
+                           window_ms=0.0)
+    return daemon, engine, csr, fold_cfg
+
+
+def test_recommend_batch_matches_engine(served):
+    daemon, engine, csr, _ = served
+    users = [0, 2, 4]
+    futs = [daemon.submit({"id": u, "op": "recommend", "user": u, "k": 3})
+            for u in users]
+    n0 = daemon.n_batches
+    processed = 0
+    while processed < len(users):
+        processed += daemon.process_once(block=False)
+    # all three coalesced into ONE engine call
+    assert daemon.n_batches == n0 + 1
+    scores, ids = engine.recommend_known(users, csr, k=3)
+    scores, ids = np.asarray(scores), np.asarray(ids)
+    for b, fut in enumerate(futs):
+        resp = fut.result(timeout=5)
+        keep = scores[b] > -1e30  # surplus slots are trimmed from responses
+        assert resp["id"] == users[b]
+        assert resp["items"] == [int(i) for i in ids[b][keep]]
+        np.testing.assert_allclose(resp["scores"], scores[b][keep], atol=1e-5)
+
+
+def test_fold_in_ragged_batch_matches_engine(served):
+    daemon, engine, _, fold_cfg = served
+    reqs = [
+        {"id": 10, "op": "fold_in", "items": [0, 1, 2],
+         "ratings": [5.0, 5.0, 5.0], "k": 2},
+        {"id": 11, "op": "fold_in", "items": [3],
+         "ratings": [1.0], "k": 2},
+    ]
+    futs = [daemon.submit(r) for r in reqs]
+    processed = 0
+    while processed < len(reqs):
+        processed += daemon.process_once(block=False)
+    # same padded batch issued directly
+    rated = np.zeros((2, 3), np.int32)
+    vals = np.zeros((2, 3), np.float32)
+    mask = np.zeros((2, 3), bool)
+    rated[0] = [0, 1, 2]
+    vals[0] = [5.0, 5.0, 5.0]
+    mask[0] = True
+    rated[1, 0] = 3
+    vals[1, 0] = 1.0
+    mask[1, 0] = True
+    scores, ids = engine.fold_in_and_recommend(rated, vals, mask,
+                                               cfg=fold_cfg, k=2)
+    scores, ids = np.asarray(scores), np.asarray(ids)
+    for b, fut in enumerate(futs):
+        resp = fut.result(timeout=5)
+        keep = scores[b] > -1e30
+        assert resp["items"] == [int(i) for i in ids[b][keep]]
+        np.testing.assert_allclose(resp["scores"], scores[b][keep], atol=1e-5)
+    # fold-in masks the user's own rated items out of the recommendations
+    assert 3 not in futs[1].result()["items"]
+
+
+def test_recommend_trims_surplus_slots(served):
+    """A user with fewer than k unrated items gets a short list, never
+    sentinel scores (serve/recommend.py: surplus slots carry < -1e30)."""
+    daemon, _, csr, _ = served
+    # user 0 rated 4 of the 5 toy items -> at most 1 real recommendation
+    fut = daemon.submit({"id": 1, "op": "recommend", "user": 0, "k": 3})
+    while not fut.done():
+        daemon.process_once(block=False)
+    resp = fut.result(timeout=5)
+    n_unrated = csr.n_items - (csr.indptr[1] - csr.indptr[0])
+    assert len(resp["items"]) == min(3, n_unrated) == 1
+    assert all(s > -1e30 for s in resp["scores"])
+
+
+def test_mixed_ops_split_into_groups(served):
+    daemon, _, _, _ = served
+    futs = [
+        daemon.submit({"id": 1, "op": "recommend", "user": 0, "k": 2}),
+        daemon.submit({"id": 2, "op": "fold_in", "items": [1],
+                       "ratings": [4.0], "k": 2}),
+        daemon.submit({"id": 3, "op": "recommend", "user": 1, "k": 2}),
+    ]
+    n0 = daemon.n_batches
+    processed = 0
+    while processed < 3:
+        processed += daemon.process_once(block=False)
+    # one recommend group (users 0 and 1 share k) + one fold-in group
+    assert daemon.n_batches == n0 + 2
+    for fut in futs:
+        assert "error" not in fut.result(timeout=5)
+
+
+def test_validation_errors(served):
+    daemon, engine, _, _ = served
+    bad = [
+        ({"id": 1, "op": "nope"}, "unknown op"),
+        ({"id": 2, "op": "fold_in", "items": [], "ratings": []},
+         "non-empty"),
+        ({"id": 3, "op": "fold_in", "items": [0], "ratings": [1.0, 2.0]},
+         "match"),
+        ({"id": 4, "op": "fold_in", "items": [engine.n_items + 5],
+          "ratings": [1.0]}, "item ids"),
+        ({"id": 5, "op": "recommend", "user": -1}, "'user'"),
+        ({"id": 6, "op": "recommend", "user": 10**6}, "'user'"),
+    ]
+    for req, frag in bad:
+        resp = daemon.submit(req).result(timeout=5)
+        assert frag in resp["error"], resp
+
+
+def test_stats(served):
+    daemon, engine, _, _ = served
+    resp = daemon.submit({"id": 9, "op": "stats"}).result(timeout=5)
+    assert resp["n_items"] == engine.n_items
+    assert resp["n_shards"] == engine.n_ip
+    assert resp["requests"] >= 1
+    assert resp["mean_batch"] >= 1.0
+
+
+def test_stdio_transport_roundtrip(served):
+    from cu2rec_tpu.serve.daemon import run_stdio
+
+    daemon, _, _, _ = served
+    lines = [
+        json.dumps({"id": 1, "op": "recommend", "user": 0, "k": 2}),
+        "not json at all",
+        json.dumps({"id": 2, "op": "stats"}),
+    ]
+    out = io.StringIO()
+    rc = run_stdio(daemon, io.StringIO("\n".join(lines) + "\n"), out)
+    assert rc == 0
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resps) == 3
+    by_id = {r.get("id"): r for r in resps}
+    # user 0 has a single unrated item, so k=2 trims to 1
+    assert len(by_id[1]["items"]) == 1
+    assert "bad json" in by_id[None]["error"]
+    assert by_id[2]["n_items"] == daemon.engine.n_items
+
+
+def test_serve_cli_checkpoint_stdio(tmp_path, data_dir, monkeypatch,
+                                    capsys):
+    """Full CLI journey: train → checkpoint → cu2rec-serve over stdio."""
+    import sys
+
+    from cu2rec_tpu.cli.serve import main
+    from cu2rec_tpu.data import build_csr, read_ratings_csv
+    from cu2rec_tpu.utils.checkpoint import save_checkpoint
+
+    rd = read_ratings_csv(str(data_dir / "test_ratings.csv"))
+    csr = build_csr(rd)
+    cfg = Config(total_iterations=100, n_factors=4, learning_rate=0.05,
+                 check_error=100)
+    model, _ = train(csr, csr, cfg, rd.global_bias,
+                     logger=MetricsLogger(verbose=False))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, model, cfg.replace(total_iterations=20))
+
+    reqs = "\n".join([
+        json.dumps({"id": 1, "op": "recommend", "user": 0, "k": 2}),
+        json.dumps({"id": 2, "op": "fold_in", "items": [0, 1],
+                    "ratings": [5.0, 4.0], "k": 2}),
+    ]) + "\n"
+    monkeypatch.setattr(sys, "stdin", io.StringIO(reqs))
+    rc = main([
+        "--checkpoint", ckpt,
+        "--train", str(data_dir / "test_ratings.csv"),
+        "--devices", "2", "--window-ms", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    resps = [json.loads(l) for l in out.splitlines() if l.strip()]
+    by_id = {r["id"]: r for r in resps}
+    # user 0 has a single unrated item; the fold-in user left 3 unrated
+    assert len(by_id[1]["items"]) == 1
+    assert len(by_id[2]["items"]) == 2
+    assert all("error" not in r for r in resps), resps
+
+
+def test_serve_cli_item_components_foldin_only(tmp_path, data_dir,
+                                               monkeypatch, capsys):
+    """predict.cu-style source (-q/-i/-g): fold-in works, recommend-by-id
+    is rejected (no known users)."""
+    import sys
+
+    from cu2rec_tpu.cli.serve import main
+    from cu2rec_tpu.data import build_csr, read_ratings_csv
+    from cu2rec_tpu.utils.checkpoint import export_components
+
+    rd = read_ratings_csv(str(data_dir / "test_ratings.csv"))
+    csr = build_csr(rd)
+    cfg = Config(total_iterations=100, n_factors=4, learning_rate=0.05,
+                 check_error=100)
+    model, _ = train(csr, csr, cfg, rd.global_bias,
+                     logger=MetricsLogger(verbose=False))
+    export_components(model, str(tmp_path), "toy", cfg.n_factors)
+    cfgfile = str(tmp_path / "serve.cfg")
+    cfg.replace(total_iterations=20).write_config(cfgfile)
+
+    reqs = "\n".join([
+        json.dumps({"id": 1, "op": "fold_in", "items": [0, 1],
+                    "ratings": [5.0, 4.0], "k": 3}),
+        json.dumps({"id": 2, "op": "recommend", "user": 0, "k": 3}),
+    ]) + "\n"
+    monkeypatch.setattr(sys, "stdin", io.StringIO(reqs))
+    rc = main([
+        "-c", cfgfile,
+        "-q", str(tmp_path / "toy_f4_q.csv"),
+        "-i", str(tmp_path / "toy_f4_item_bias.csv"),
+        "-g", str(tmp_path / "toy_f4_global_bias.csv"),
+        "--devices", "2", "--window-ms", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    by_id = {r["id"]: r for r in
+             (json.loads(l) for l in out.splitlines() if l.strip())}
+    assert len(by_id[1]["items"]) == 3
+    assert 0 not in by_id[1]["items"] and 1 not in by_id[1]["items"]
+    assert "error" in by_id[2]  # no known users in this mode
