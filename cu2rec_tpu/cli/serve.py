@@ -44,6 +44,11 @@ def build_parser():
     p.add_argument("-k", "--top-k", type=int, default=10)
     p.add_argument("--max-batch", type=int, default=512)
     p.add_argument("--window-ms", type=float, default=4.0)
+    p.add_argument("--warm-batch", type=int, default=0,
+                   help="precompile the program ladder up to this batch "
+                   "size before taking traffic (0 = compile lazily)")
+    p.add_argument("--warm-width", type=int, default=32,
+                   help="max fold-in rated-list width to precompile")
     return p
 
 
@@ -110,6 +115,10 @@ def main(argv=None) -> int:
     print(f"model: {model.n_users} users x {model.n_items} items, "
           f"F={model.n_factors}, {engine.n_ip} item shard(s)",
           file=sys.stderr, flush=True)
+    if args.warm_batch:
+        n = daemon.warm(max_batch=args.warm_batch,
+                        max_width=args.warm_width)
+        print(f"warm: {n} programs compiled", file=sys.stderr, flush=True)
     if args.socket:
         return run_socket(daemon, args.socket)
     return run_stdio(daemon, sys.stdin, sys.stdout)

@@ -14,7 +14,16 @@ then drains everything that arrives within ``window_ms`` (up to
 count), and executes each group as ONE engine call — fold-ins ride one
 ``fold_in_and_recommend`` over the ip-sharded catalog, known-user
 recommends ride one MXU scoring batch.  Shape-padded program caching in
-the engine means a handful of compiled programs serve any traffic mix.
+the engine means a handful of compiled programs serve any traffic mix;
+``warm()`` precompiles that ladder at startup so no batch ever stalls
+on a (remote) compile.
+
+Pipelining: JAX dispatch is asynchronous — an engine call returns device
+arrays immediately while the chip works — so the dispatcher hands the
+un-materialized results to a completion thread and starts forming the
+next batch at once.  Fetching batch N's results (a full host round trip,
+~80 ms through a tunneled runtime) overlaps batch N+1's execution; the
+steady-state rate is set by device compute, not by link latency.
 
 Request protocol (JSONL, one object per line):
 
@@ -41,6 +50,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from cu2rec_tpu.serve.engine import _pow2_pad
 from cu2rec_tpu.utils.config import Config
 
 
@@ -70,6 +80,8 @@ class ServingDaemon:
         self.default_k = default_k
         self._queue: queue.Queue[_Pending] = queue.Queue()
         self._thread: threading.Thread | None = None
+        self._completer: threading.Thread | None = None
+        self._completions: queue.Queue | None = None
         self._stop = threading.Event()
         self.n_requests = 0
         self.n_batches = 0
@@ -157,18 +169,41 @@ class ServingDaemon:
             groups.setdefault(key, []).append(p)
         for key, grp in groups.items():
             try:
+                # Dispatch only — the returned arrays are un-materialized
+                # device values (JAX async dispatch).
                 if key[0] == "fold_in":
-                    self._run_fold_in(grp, k=key[1], iterations=key[2])
+                    scores, ids = self._run_fold_in(grp, k=key[1],
+                                                    iterations=key[2])
                 else:
-                    self._run_recommend(grp, k=key[1])
+                    scores, ids = self._run_recommend(grp, k=key[1])
             except Exception as e:  # noqa: BLE001 — fail the group, not the daemon
-                for p in grp:
-                    if not p.future.done():
-                        p.future.set_result(
-                            {"id": p.req.get("id"), "error": repr(e)})
+                self._fail(grp, e)
+            else:
+                if self._completions is not None:
+                    self._completions.put((grp, scores, ids))
+                else:
+                    self._finish(grp, scores, ids)
             self.n_batches += 1
             self.n_batched_requests += len(grp)
         return len(pend)
+
+    @staticmethod
+    def _fail(grp: list[_Pending], e: Exception) -> None:
+        for p in grp:
+            if not p.future.done():
+                p.future.set_result(
+                    {"id": p.req.get("id"), "error": repr(e)})
+
+    def _finish(self, grp: list[_Pending], scores, ids) -> None:
+        """Materialize one dispatched group's results and resolve futures."""
+        try:
+            scores = np.asarray(scores)
+            ids = np.asarray(ids)
+        except Exception as e:  # noqa: BLE001
+            self._fail(grp, e)
+            return
+        for b, p in enumerate(grp):
+            p.future.set_result(self._response(p.req, ids[b], scores[b]))
 
     @staticmethod
     def _response(req: dict, ids_row, scores_row) -> dict:
@@ -182,8 +217,7 @@ class ServingDaemon:
             "scores": [round(float(s), 6) for s in scores_row[keep]],
         }
 
-    def _run_fold_in(self, grp: list[_Pending], k: int,
-                     iterations: int) -> None:
+    def _run_fold_in(self, grp: list[_Pending], k: int, iterations: int):
         B = len(grp)
         D = max(len(p.req["items"]) for p in grp)
         rated = np.zeros((B, D), np.int32)
@@ -197,37 +231,102 @@ class ServingDaemon:
         import dataclasses
         cfg = dataclasses.replace(self.cfg, total_iterations=iterations,
                                   is_train=False)
-        scores, ids = self.engine.fold_in_and_recommend(
+        return self.engine.fold_in_and_recommend_padded(
             rated, vals, mask, cfg=cfg, k=k)
-        scores = np.asarray(scores)
-        ids = np.asarray(ids)
-        for b, p in enumerate(grp):
-            p.future.set_result(self._response(p.req, ids[b], scores[b]))
 
-    def _run_recommend(self, grp: list[_Pending], k: int) -> None:
+    def _run_recommend(self, grp: list[_Pending], k: int):
         uids = np.asarray([p.req["user"] for p in grp], np.int64)
         if self.train_csr is not None:
-            scores, ids = self.engine.recommend_known(
+            return self.engine.recommend_known_padded(
                 uids, self.train_csr, k=k)
-        else:
-            # No train CSR loaded: nothing to filter, score the raw rows.
-            import jax.numpy as jnp
-            rated = np.zeros((len(grp), 1), np.int32)
-            rmask = np.zeros((len(grp), 1), bool)
-            scores, ids = self.engine.recommend(
-                jnp.asarray(self.engine.P)[uids],
-                jnp.asarray(self.engine.user_bias)[uids],
-                rated, rmask, k=k)
-        scores = np.asarray(scores)
-        ids = np.asarray(ids)
-        for b, p in enumerate(grp):
-            p.future.set_result(self._response(p.req, ids[b], scores[b]))
+        # No train CSR loaded: nothing to filter, score the raw rows
+        # (host gather from the engine's numpy P, host pow2 padding).
+        B = len(grp)
+        Bp = _pow2_pad(B)
+        pp = np.zeros((Bp, self.engine.F), np.float32)
+        ubp = np.zeros(Bp, np.float32)
+        pp[:B] = self.engine.P[uids]
+        ubp[:B] = self.engine.user_bias[uids]
+        return self.engine.recommend_padded(
+            pp, ubp, np.zeros((Bp, 1), np.int32),
+            np.zeros((Bp, 1), bool), k=k)
 
     # -- lifecycle ---------------------------------------------------------
+    def warm(self, max_batch: int | None = None, max_width: int = 32,
+             iterations: int | None = None, verbose: bool = False) -> int:
+        """Precompile the pow2 program ladder before taking traffic.
+
+        Dispatch pads every batch to a power of two, so steady state uses
+        O(log max_batch) compiled programs per op — but compiling one
+        lazily under load stalls that batch for the full (remote) compile.
+        Production startup should pay that once, here; with the persistent
+        compile cache, later restarts of the same model shape are fast.
+
+        Warms recommend at rated-list width 1 (the no-filter path) plus
+        the widths the train CSR can produce (known-user filtering pads
+        the rated lists to pow2 of the batch's max degree), and fold-in +
+        its recommend at widths up to ``max_width``.  Returns the number
+        of programs compiled.
+        """
+        import dataclasses
+
+        mb = _pow2_pad(max_batch or self.max_batch)
+        ladder = []
+        b = 8
+        while b <= mb:
+            ladder.append(b)
+            b *= 2
+        widths = []
+        w = 8
+        while w <= _pow2_pad(max_width):
+            widths.append(w)
+            w *= 2
+        rec_widths = {1}
+        if self.train_csr is not None:
+            deg = np.diff(self.train_csr.indptr)
+            rec_widths.update(x for x in widths
+                              if x <= _pow2_pad(int(deg.max(initial=1))))
+        n0 = len(self.engine._programs)
+        cfg = dataclasses.replace(
+            self.cfg, is_train=False,
+            total_iterations=iterations or self.cfg.total_iterations)
+        for B in ladder:
+            for R in sorted(rec_widths):
+                if verbose:
+                    print(f"warm recommend B={B} R={R}", flush=True)
+                self.engine.recommend_padded(
+                    np.zeros((B, self.engine.F), np.float32),
+                    np.zeros(B, np.float32),
+                    np.zeros((B, R), np.int32), np.zeros((B, R), bool),
+                    k=self.default_k)
+            for D in widths:
+                if verbose:
+                    print(f"warm fold_in B={B} D={D}", flush=True)
+                mask = np.zeros((B, D), bool)
+                mask[:, 0] = True
+                self.engine.fold_in_and_recommend_padded(
+                    np.zeros((B, D), np.int32),
+                    np.full((B, D), 3.0, np.float32), mask,
+                    cfg=cfg, k=self.default_k)
+        return len(self.engine._programs) - n0
+
     def start(self) -> None:
         if self._thread is not None:
             return
         self._stop.clear()
+        self._completions = queue.Queue()
+
+        def complete_loop(q):
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                self._finish(*item)
+
+        self._completer = threading.Thread(
+            target=complete_loop, args=(self._completions,), daemon=True,
+            name="cu2rec-serve-complete")
+        self._completer.start()
 
         def loop():
             while not self._stop.is_set():
@@ -243,9 +342,13 @@ class ServingDaemon:
         self._stop.set()
         self._thread.join(timeout=5.0)
         self._thread = None
+        completions, self._completions = self._completions, None
         # Drain anything still queued so no future hangs forever.
         while self.process_once(block=False):
             pass
+        completions.put(None)
+        self._completer.join(timeout=60.0)
+        self._completer = None
 
 
 # -- transports --------------------------------------------------------------

@@ -70,9 +70,16 @@ class ShardedServingEngine:
         self.T_i = jax.device_put(
             T_i, NamedSharding(mesh, P("ip", None)))
         self.I_pad = I_pad
-        # known-user tables stay replicated (small relative to the catalog)
-        self.P = model.P
-        self.user_bias = model.user_bias
+        # Known-user tables live on the HOST (numpy): per-request row
+        # lookup is a host gather feeding the padded program call.  Keeping
+        # them as device arrays would make every lookup an eagerly
+        # compiled gather whose executable is keyed on the batch size —
+        # a fresh (remote) compile per novel batch shape under live
+        # traffic.  All ragged/shape-dependent prep in this engine is
+        # host-side numpy for the same reason; the device sees exactly
+        # one cached program call per padded signature.
+        self.P = np.asarray(model.P)
+        self.user_bias = np.asarray(model.user_bias)
         self._programs: dict = {}
 
     # -- recommendation ---------------------------------------------------
@@ -120,39 +127,81 @@ class ShardedServingEngine:
         self._programs[key] = f
         return f
 
+    @staticmethod
+    def _pad_rated(rated_items, rated_mask, Bp: int):
+        """Host-pad rated lists to a pow2 (Bp, Rp) program signature."""
+        rated_items = np.asarray(rated_items)
+        rated_mask = np.asarray(rated_mask)
+        if rated_items.ndim == 1:  # one rated item per user → (B, 1)
+            rated_items = rated_items[:, None]
+            rated_mask = rated_mask[:, None]
+        B, R = rated_items.shape
+        Rp = _pow2_pad(max(R, 1))
+        rated = np.zeros((Bp, Rp), np.int32)
+        rmask = np.zeros((Bp, Rp), bool)
+        rated[:B, :R] = rated_items
+        rmask[:B, :R] = rated_mask
+        return rated, rmask
+
+    def recommend_padded(self, p_rows, ub_rows, rated_items, rated_mask,
+                         k: int = 10):
+        """Dispatch one scoring batch; returns UNTRIMMED (Bp, k) device
+        arrays without blocking (JAX async dispatch).
+
+        ``p_rows``/``ub_rows`` may be numpy (uploaded by the call) or
+        device arrays already padded to a pow2 batch (the fold-in output).
+        This is the serving hot path: everything shape-dependent happens
+        in numpy here; trim/materialize on the host after fetching.
+        """
+        Bp = int(np.shape(p_rows)[0])
+        assert Bp == _pow2_pad(Bp), f"p_rows batch {Bp} not pow2-padded"
+        rated, rmask = self._pad_rated(rated_items, rated_mask, Bp)
+        f = self._recommend_program(Bp, int(rated.shape[1]), k)
+        return f(p_rows, ub_rows, self.T_i, rated, rmask)
+
     def recommend(self, p_rows, ub_rows, rated_items, rated_mask,
                   k: int = 10):
         """Top-k unrated items for a batch given explicit user rows.
 
         Shapes are padded to cached program signatures; surplus rows are
         trimmed from the result.  Returns (scores (B,k), item ids (B,k))."""
-        B = int(np.shape(p_rows)[0])
+        p_rows = np.asarray(p_rows, np.float32)
+        ub_rows = np.asarray(ub_rows, np.float32)
+        B = p_rows.shape[0]
         Bp = _pow2_pad(B)
-        rated_items = np.asarray(rated_items)
-        rated_mask = np.asarray(rated_mask)
-        if rated_items.ndim == 1:  # one rated item per user → (B, 1)
-            rated_items = rated_items[:, None]
-            rated_mask = rated_mask[:, None]
-        R = int(rated_items.shape[1])
-        Rp = _pow2_pad(max(R, 1))
-        p_rows = jnp.pad(jnp.asarray(p_rows, jnp.float32),
-                         ((0, Bp - B), (0, 0)))
-        ub_rows = jnp.pad(jnp.asarray(ub_rows, jnp.float32), (0, Bp - B))
-        rated = jnp.pad(jnp.asarray(rated_items, jnp.int32),
-                        ((0, Bp - B), (0, Rp - R)))
-        rmask = jnp.pad(jnp.asarray(rated_mask, bool),
-                        ((0, Bp - B), (0, Rp - R)))
-        f = self._recommend_program(Bp, Rp, k)
-        vals, idx = f(p_rows, ub_rows, self.T_i, rated, rmask)
+        pp = np.zeros((Bp, p_rows.shape[1]), np.float32)
+        ubp = np.zeros(Bp, np.float32)
+        pp[:B] = p_rows
+        ubp[:B] = ub_rows
+        vals, idx = self.recommend_padded(pp, ubp, rated_items,
+                                          rated_mask, k=k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
         return vals[:B], idx[:B]
+
+    def _known_rows(self, user_ids, train_csr):
+        """Host-side lookup: pow2-padded P rows, biases, rated lists."""
+        from cu2rec_tpu.serve.recommend import padded_user_lists
+        uids = np.asarray(user_ids)
+        B = uids.shape[0]
+        Bp = _pow2_pad(B)
+        rated, rmask = padded_user_lists(train_csr, uids)
+        pp = np.zeros((Bp, self.F), np.float32)
+        ubp = np.zeros(Bp, np.float32)
+        pp[:B] = self.P[uids]
+        ubp[:B] = self.user_bias[uids]
+        return pp, ubp, rated, rmask
+
+    def recommend_known_padded(self, user_ids, train_csr, k: int = 10):
+        """Hot-path variant: dispatch only, UNTRIMMED (Bp, k) device out."""
+        pp, ubp, rated, rmask = self._known_rows(user_ids, train_csr)
+        return self.recommend_padded(pp, ubp, rated, rmask, k=k)
 
     def recommend_known(self, user_ids, train_csr, k: int = 10):
         """Top-k for existing users (rated-in-train items masked)."""
-        from cu2rec_tpu.serve.recommend import padded_user_lists
-        rated, rmask = padded_user_lists(train_csr, user_ids)
-        uids = jnp.asarray(user_ids)
-        return self.recommend(self.P[uids], self.user_bias[uids],
-                              rated, rmask, k=k)
+        B = int(np.shape(user_ids)[0])
+        vals, idx = self.recommend_known_padded(user_ids, train_csr, k=k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        return vals[:B], idx[:B]
 
     # -- fold-in ----------------------------------------------------------
     def _foldin_program(self, B: int, D: int):
@@ -209,6 +258,18 @@ class ShardedServingEngine:
         batch of one reproduces the single-user path exactly.
         ``init_rows=(P0 (B,F), ub0 (B,))`` overrides the seeded
         Normal(0, 1/F) initialization (util.cu:124-132)."""
+        B = int(np.shape(rated_items)[0])
+        T_u = self.fold_in_padded(rated_items, ratings, mask, cfg=cfg,
+                                  key=key, init_rows=init_rows)
+        T_u = np.asarray(T_u)
+        return T_u[:B, :self.F], T_u[:B, self.F]
+
+    def fold_in_padded(self, rated_items, ratings, mask,
+                       cfg: Config | None = None, key=None,
+                       init_rows=None):
+        """Hot-path variant: dispatch only; returns the UNTRIMMED packed
+        (Bp, W) user table as an un-materialized device array.  All
+        shape-dependent prep is host-side numpy (see __init__ note)."""
         cfg = cfg or Config()
         B, D = np.shape(rated_items)
         Bp, Dp = _pow2_pad(B), _pow2_pad(D)
@@ -222,34 +283,61 @@ class ShardedServingEngine:
                                      order, axis=1)
         ratings_c = np.take_along_axis(np.asarray(ratings, np.float32),
                                        order, axis=1)
-        items = jnp.pad(jnp.asarray(rated_c),
-                        ((0, Bp - B), (0, Dp - D)))
-        vals = jnp.pad(jnp.asarray(ratings_c),
-                       ((0, Bp - B), (0, Dp - D)))
-        lens = jnp.pad(jnp.asarray(m.sum(axis=1), jnp.int32),
-                       (0, Bp - B))
+        items = np.zeros((Bp, Dp), np.int32)
+        vals = np.zeros((Bp, Dp), np.float32)
+        lens = np.zeros(Bp, np.int32)
+        items[:B, :D] = rated_c
+        vals[:B, :D] = ratings_c
+        lens[:B] = m.sum(axis=1)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-        T_u0 = jnp.zeros((Bp, self.W), jnp.float32)
         if init_rows is not None:
             P0, ub0 = init_rows
-            init = jnp.concatenate(
-                [jnp.asarray(P0, jnp.float32),
-                 jnp.asarray(ub0, jnp.float32)[:, None]], axis=1)
-            init = jnp.pad(init, ((0, Bp - B), (0, 0)))
+            T_u0 = np.zeros((Bp, self.W), np.float32)
+            T_u0[:B, :self.F] = np.asarray(P0, np.float32)
+            T_u0[:B, self.F] = np.asarray(ub0, np.float32)
         else:
-            init = jax.random.normal(key, (Bp, self.F + 1)) / self.F
-        T_u0 = T_u0.at[:, :self.F + 1].set(init)
+            # (Bp, F+1) is a pow2-bounded signature; row b's draw is
+            # independent of Bp (threefry counts elements row-major), so
+            # a batch of one reproduces the big-batch init exactly.
+            T_u0 = self._default_init(Bp, key)
         hp = Hyper.from_config(cfg)
         f = self._foldin_program(Bp, Dp)
-        T_u = f(T_u0, self.T_i, items, vals, lens, hp, key,
-                jnp.int32(cfg.total_iterations))
-        return T_u[:B, :self.F], T_u[:B, self.F]
+        return f(T_u0, self.T_i, items, vals, lens, hp, key,
+                 jnp.int32(cfg.total_iterations))
+
+    def _default_init(self, Bp: int, key):
+        prog = self._programs.get(("init", Bp))
+        if prog is None:
+            F, W = self.F, self.W
+
+            def init_fn(key):
+                T = jnp.zeros((Bp, W), jnp.float32)
+                return T.at[:, :F + 1].set(
+                    jax.random.normal(key, (Bp, F + 1)) / F)
+
+            prog = jax.jit(init_fn)
+            self._programs[("init", Bp)] = prog
+        return prog(key)
+
+    def fold_in_and_recommend_padded(self, rated_items, ratings, mask,
+                                     cfg: Config | None = None,
+                                     k: int = 10):
+        """Hot path: fold-in + scoring, dispatch only, (Bp, k) device out."""
+        T_u = self.fold_in_padded(rated_items, ratings, mask, cfg=cfg)
+        Bp = int(T_u.shape[0])
+        rated, rmask = self._pad_rated(rated_items, mask, Bp)
+        f = self._recommend_program(Bp, int(rated.shape[1]), k)
+        p_rows, ub_rows = T_u[:, :self.F], T_u[:, self.F]
+        return f(p_rows, ub_rows, self.T_i, rated, rmask)
 
     def fold_in_and_recommend(self, rated_items, ratings, mask,
                               cfg: Config | None = None, k: int = 10):
         """The full predict-binary journey for a batch of new users."""
-        p_rows, ub = self.fold_in(rated_items, ratings, mask, cfg)
-        return self.recommend(p_rows, ub, rated_items, mask, k=k)
+        B = int(np.shape(rated_items)[0])
+        vals, idx = self.fold_in_and_recommend_padded(
+            rated_items, ratings, mask, cfg=cfg, k=k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        return vals[:B], idx[:B]
 
     # -- benchmarking ------------------------------------------------------
     def bench_qps(self, batch_size: int = 512, k: int = 10,
@@ -263,11 +351,16 @@ class ShardedServingEngine:
         rated = rng.integers(0, self.n_items,
                              (batch_size, 32)).astype(np.int32)
         rmask = np.ones((batch_size, 32), bool)
-        vals, _ = self.recommend(p, ub, rated, rmask, k=k)  # compile
+        Bp = _pow2_pad(batch_size)
+        pp = np.zeros((Bp, self.F), np.float32)
+        ubp = np.zeros(Bp, np.float32)
+        pp[:batch_size] = p
+        ubp[:batch_size] = ub
+        vals, _ = self.recommend_padded(pp, ubp, rated, rmask, k=k)  # compile
         fetch_barrier(vals)
         t0 = time.perf_counter()
         for _ in range(n_batches):
-            vals, _ = self.recommend(p, ub, rated, rmask, k=k)
+            vals, _ = self.recommend_padded(pp, ubp, rated, rmask, k=k)
         fetch_barrier(vals)
         dt = time.perf_counter() - t0
         return batch_size * n_batches / dt

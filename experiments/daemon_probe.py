@@ -62,14 +62,18 @@ def main() -> None:
           f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
     rng = np.random.default_rng(0)
+    # pre-drawn item pool: rng.choice(I, d, replace=False) permutes all I
+    # elements per call (tens of ms at 1M items) — not what we're timing
+    item_pool = rng.integers(0, I, (4096, 32), np.int64)
 
     def make_req(i: int, op: str) -> dict:
         if op == "recommend":
             return {"id": i, "op": "recommend",
                     "user": int(rng.integers(0, U)), "k": args.k}
         d = int(rng.integers(8, 33))
+        row = item_pool[rng.integers(0, len(item_pool))]
         return {"id": i, "op": "fold_in",
-                "items": [int(x) for x in rng.choice(I, d, replace=False)],
+                "items": [int(x) for x in row[:d]],
                 "ratings": [float(x) for x in rng.uniform(1, 5, d)],
                 "k": args.k, "iterations": args.foldin_iters}
 
@@ -78,9 +82,13 @@ def main() -> None:
         daemon = ServingDaemon(eng, cfg=cfg, max_batch=args.max_batch,
                                window_ms=args.window_ms, default_k=args.k)
         daemon.start()
-        # warmup/compile: the serial shape (B=1) plus a pooled-size burst
-        # (B pads to the batch the clients will actually form), untimed.
-        daemon.submit(make_req(-1, op)).result(timeout=600)
+        # precompile the full pow2 program ladder (what a production
+        # launch does via --warm-batch), then one traffic pass, untimed.
+        t0 = time.perf_counter()
+        n = daemon.warm(max_batch=min(args.max_batch, args.clients * 2),
+                        max_width=32, iterations=args.foldin_iters)
+        print(f"warm[{op}]: {n} programs "
+              f"({time.perf_counter() - t0:.1f}s)", flush=True)
         warm = [daemon.submit(make_req(-2 - w, op))
                 for w in range(args.clients)]
         for fut in warm:

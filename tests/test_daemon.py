@@ -10,7 +10,9 @@ equal the same engine call issued directly with the same grouping.
 
 import io
 import json
+import os
 import pathlib
+import time
 
 import numpy as np
 import pytest
@@ -130,6 +132,23 @@ def test_mixed_ops_split_into_groups(served):
         assert "error" not in fut.result(timeout=5)
 
 
+def test_warm_precompiles_program_ladder(served):
+    """warm() compiles the pow2 ladder; traffic within it adds nothing."""
+    daemon, engine, _, _ = served
+    daemon.warm(max_batch=8, max_width=8)
+    n0 = len(engine._programs)
+    futs = [daemon.submit({"id": i, "op": "recommend", "user": i, "k": 10})
+            for i in range(3)]
+    futs.append(daemon.submit({"id": 9, "op": "fold_in", "items": [0, 1],
+                               "ratings": [4.0, 3.0], "k": 10}))
+    done = 0
+    while done < len(futs):
+        done += daemon.process_once(block=False)
+    for f in futs:
+        assert "error" not in f.result(timeout=5)
+    assert len(engine._programs) == n0
+
+
 def test_validation_errors(served):
     daemon, engine, _, _ = served
     bad = [
@@ -176,6 +195,59 @@ def test_stdio_transport_roundtrip(served):
     assert len(by_id[1]["items"]) == 1
     assert "bad json" in by_id[None]["error"]
     assert by_id[2]["n_items"] == daemon.engine.n_items
+
+
+def test_socket_transport_concurrent_connections(served, tmp_path):
+    """Two connections share one warm pool; both get correct answers."""
+    import socket
+    import threading
+
+    from cu2rec_tpu.serve.daemon import run_socket
+
+    daemon, _, _, _ = served
+    path = str(tmp_path / "serve.sock")
+    srv = threading.Thread(target=run_socket, args=(daemon, path),
+                           daemon=True)
+    srv.start()
+    deadline = time.monotonic() + 10
+    while not os.path.exists(path):
+        assert time.monotonic() < deadline, "socket never appeared"
+        time.sleep(0.01)
+
+    def ask(reqs):
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(path)
+        rf = c.makefile("r", encoding="utf-8")
+        wf = c.makefile("w", encoding="utf-8")
+        out = []
+        for r in reqs:
+            wf.write(json.dumps(r) + "\n")
+        wf.flush()
+        c.shutdown(socket.SHUT_WR)
+        for line in rf:
+            out.append(json.loads(line))
+        c.close()
+        return out
+
+    results = {}
+
+    def client(cid):
+        results[cid] = ask([
+            {"id": cid * 10, "op": "recommend", "user": cid, "k": 2},
+            {"id": cid * 10 + 1, "op": "stats"},
+        ])
+
+    ts = [threading.Thread(target=client, args=(c,)) for c in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    for cid in (1, 2):
+        resps = {r["id"]: r for r in results[cid]}
+        assert "items" in resps[cid * 10], resps
+        assert resps[cid * 10 + 1]["n_items"] == daemon.engine.n_items
+    # run_socket loops on accept() until interrupted; leave the daemon
+    # thread to die with the test process (daemon=True).
 
 
 def test_serve_cli_checkpoint_stdio(tmp_path, data_dir, monkeypatch,
