@@ -167,6 +167,10 @@ class ServingDaemon:
             else:
                 key = ("recommend", k)
             groups.setdefault(key, []).append(p)
+        # Snapshot the completion queue once per cycle: close() swaps the
+        # attribute to None, and a check-then-put against the attribute
+        # could fall in that window and kill the dispatch thread.
+        completions = self._completions
         for key, grp in groups.items():
             try:
                 # Dispatch only — the returned arrays are un-materialized
@@ -179,8 +183,8 @@ class ServingDaemon:
             except Exception as e:  # noqa: BLE001 — fail the group, not the daemon
                 self._fail(grp, e)
             else:
-                if self._completions is not None:
-                    self._completions.put((grp, scores, ids))
+                if completions is not None:
+                    completions.put((grp, scores, ids))
                 else:
                     self._finish(grp, scores, ids)
             self.n_batches += 1
@@ -340,7 +344,16 @@ class ServingDaemon:
         if self._thread is None:
             return
         self._stop.set()
-        self._thread.join(timeout=5.0)
+        # A batch mid-dispatch may be sitting in a (remote) program
+        # compile; the loop re-checks _stop between cycles, so a generous
+        # join is bounded by one batch, not by traffic.
+        self._thread.join(timeout=300.0)
+        if self._thread.is_alive():
+            # Pathological: dispatcher wedged inside an engine call.
+            # Leave the completion queue in place (it may still put) and
+            # abandon the threads — they are daemonic.
+            self._thread = None
+            return
         self._thread = None
         completions, self._completions = self._completions, None
         # Drain anything still queued so no future hangs forever.
