@@ -49,6 +49,9 @@ def build_parser():
                    "size before taking traffic (0 = compile lazily)")
     p.add_argument("--warm-width", type=int, default=32,
                    help="max fold-in rated-list width to precompile")
+    p.add_argument("--warm-ks", default="",
+                   help="comma-separated top-k values to precompile "
+                   "(programs are keyed on k; default: just --top-k)")
     return p
 
 
@@ -116,8 +119,10 @@ def main(argv=None) -> int:
           f"F={model.n_factors}, {engine.n_ip} item shard(s)",
           file=sys.stderr, flush=True)
     if args.warm_batch:
+        ks = tuple(int(x) for x in args.warm_ks.split(",") if x.strip())
         n = daemon.warm(max_batch=args.warm_batch,
-                        max_width=args.warm_width)
+                        max_width=args.warm_width,
+                        ks=ks or (args.top_k,))
         print(f"warm: {n} programs compiled", file=sys.stderr, flush=True)
     if args.socket:
         return run_socket(daemon, args.socket)

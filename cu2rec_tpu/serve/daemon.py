@@ -114,8 +114,14 @@ class ServingDaemon:
             if not isinstance(ratings, list) or len(ratings) != len(items):
                 return "'ratings' must match 'items' in length"
             n_items = self.engine.n_items
-            if any(not (0 <= int(i) < n_items) for i in items):
-                return f"item ids must be in [0, {n_items})"
+            if not all(isinstance(i, int) and 0 <= i < n_items
+                       for i in items):
+                return f"item ids must be ints in [0, {n_items})"
+            if not all(isinstance(r, (int, float)) for r in ratings):
+                return "'ratings' must be numbers"
+            it = req.get("iterations")
+            if it is not None and not (isinstance(it, int) and it >= 0):
+                return "'iterations' must be a non-negative int"
         elif op == "recommend":
             u = req.get("user")
             n_users = int(np.shape(self.engine.P)[0])
@@ -125,6 +131,10 @@ class ServingDaemon:
             pass
         else:
             return f"unknown op: {op!r}"
+        if op != "stats":
+            k = req.get("k")
+            if k is not None and not (isinstance(k, int) and k > 0):
+                return "'k' must be a positive int"
         return None
 
     def _stats(self, req: dict) -> dict:
@@ -160,12 +170,17 @@ class ServingDaemon:
         groups: dict[tuple, list[_Pending]] = {}
         for p in pend:
             r = p.req
-            k = int(r.get("k", self.default_k))
-            if r["op"] == "fold_in":
-                key = ("fold_in", k,
-                       int(r.get("iterations", self.cfg.total_iterations)))
-            else:
-                key = ("recommend", k)
+            try:
+                k = int(r.get("k", self.default_k))
+                if r["op"] == "fold_in":
+                    key = ("fold_in", k,
+                           int(r.get("iterations",
+                                     self.cfg.total_iterations)))
+                else:
+                    key = ("recommend", k)
+            except Exception as e:  # noqa: BLE001 — fail the request, not the thread
+                self._fail([p], e)
+                continue
             groups.setdefault(key, []).append(p)
         # Snapshot the completion queue once per cycle: close() swaps the
         # attribute to None, and a check-then-put against the attribute
@@ -245,19 +260,17 @@ class ServingDaemon:
                 uids, self.train_csr, k=k)
         # No train CSR loaded: nothing to filter, score the raw rows
         # (host gather from the engine's numpy P, host pow2 padding).
-        B = len(grp)
-        Bp = _pow2_pad(B)
-        pp = np.zeros((Bp, self.engine.F), np.float32)
-        ubp = np.zeros(Bp, np.float32)
-        pp[:B] = self.engine.P[uids]
-        ubp[:B] = self.engine.user_bias[uids]
+        pp, ubp = self.engine._pad_rows(self.engine.P[uids],
+                                        self.engine.user_bias[uids])
+        Bp = pp.shape[0]
         return self.engine.recommend_padded(
             pp, ubp, np.zeros((Bp, 1), np.int32),
             np.zeros((Bp, 1), bool), k=k)
 
     # -- lifecycle ---------------------------------------------------------
     def warm(self, max_batch: int | None = None, max_width: int = 32,
-             iterations: int | None = None, verbose: bool = False) -> int:
+             iterations: int | None = None, verbose: bool = False,
+             ks: tuple | None = None) -> int:
         """Precompile the pow2 program ladder before taking traffic.
 
         Dispatch pads every batch to a power of two, so steady state uses
@@ -266,11 +279,18 @@ class ServingDaemon:
         Production startup should pay that once, here; with the persistent
         compile cache, later restarts of the same model shape are fast.
 
-        Warms recommend at rated-list width 1 (the no-filter path) plus
-        the widths the train CSR can produce (known-user filtering pads
-        the rated lists to pow2 of the batch's max degree), and fold-in +
-        its recommend at widths up to ``max_width``.  Returns the number
-        of programs compiled.
+        Warms recommend at every rated-list width the train CSR can
+        produce — known-user filtering pads the rated lists to pow2 of
+        the batch's max user degree, so the ladder runs to
+        pow2(deg.max()) regardless of ``max_width`` — and fold-in (+ its
+        recommend) at request widths up to ``max_width``.  ``ks`` lists
+        the top-k values to warm (default: just ``default_k``; programs
+        are keyed on k, so a deployment that serves several k values
+        should warm each).  The warm fold-ins run ONE optimisation step:
+        the iteration count is a traced scalar (one program serves any
+        count), so compile coverage is identical and startup doesn't pay
+        thousands of wasted SGD steps per rung.  Returns the number of
+        programs compiled.
         """
         import dataclasses
 
@@ -285,39 +305,53 @@ class ServingDaemon:
         while w <= _pow2_pad(max_width):
             widths.append(w)
             w *= 2
-        rec_widths = {1}
+        # rated lists pad to at least 8 (engine._pad_rated's pow2 floor),
+        # including the no-CSR "width 1" path
+        rec_widths = {8}
         if self.train_csr is not None:
-            deg = np.diff(self.train_csr.indptr)
-            rec_widths.update(x for x in widths
-                              if x <= _pow2_pad(int(deg.max(initial=1))))
+            deg_max = int(np.diff(self.train_csr.indptr).max(initial=1))
+            w = 8
+            while w <= _pow2_pad(deg_max):
+                rec_widths.add(w)
+                w *= 2
+        rec_widths.update(widths)  # fold-in's recommend rides its D
+        del iterations  # compile-irrelevant (traced scalar); kept for API
+        cfg = dataclasses.replace(self.cfg, is_train=False,
+                                  total_iterations=1)
+        ks = tuple(ks) if ks else (self.default_k,)
         n0 = len(self.engine._programs)
-        cfg = dataclasses.replace(
-            self.cfg, is_train=False,
-            total_iterations=iterations or self.cfg.total_iterations)
         for B in ladder:
-            for R in sorted(rec_widths):
-                if verbose:
-                    print(f"warm recommend B={B} R={R}", flush=True)
-                self.engine.recommend_padded(
-                    np.zeros((B, self.engine.F), np.float32),
-                    np.zeros(B, np.float32),
-                    np.zeros((B, R), np.int32), np.zeros((B, R), bool),
-                    k=self.default_k)
-            for D in widths:
-                if verbose:
-                    print(f"warm fold_in B={B} D={D}", flush=True)
-                mask = np.zeros((B, D), bool)
-                mask[:, 0] = True
-                self.engine.fold_in_and_recommend_padded(
-                    np.zeros((B, D), np.int32),
-                    np.full((B, D), 3.0, np.float32), mask,
-                    cfg=cfg, k=self.default_k)
+            for k in ks:
+                for R in sorted(rec_widths):
+                    if verbose:
+                        print(f"warm recommend B={B} R={R} k={k}",
+                              flush=True)
+                    self.engine.recommend_padded(
+                        np.zeros((B, self.engine.F), np.float32),
+                        np.zeros(B, np.float32),
+                        np.zeros((B, R), np.int32), np.zeros((B, R), bool),
+                        k=k)
+                for D in widths:
+                    if verbose:
+                        print(f"warm fold_in B={B} D={D} k={k}", flush=True)
+                    mask = np.zeros((B, D), bool)
+                    mask[:, 0] = True
+                    self.engine.fold_in_and_recommend_padded(
+                        np.zeros((B, D), np.int32),
+                        np.full((B, D), 3.0, np.float32), mask,
+                        cfg=cfg, k=k)
         return len(self.engine._programs) - n0
 
     def start(self) -> None:
         if self._thread is not None:
             return
-        self._stop.clear()
+        # Fresh Event per generation: if a previous close() abandoned a
+        # wedged dispatcher (join timeout), that thread holds the OLD
+        # event — which stays set forever — so it exits the moment its
+        # stuck engine call returns instead of being revived by this
+        # clear() and double-consuming the queue.
+        self._stop = threading.Event()
+        stop = self._stop
         self._completions = queue.Queue()
 
         def complete_loop(q):
@@ -333,8 +367,16 @@ class ServingDaemon:
         self._completer.start()
 
         def loop():
-            while not self._stop.is_set():
-                self.process_once(block=True, timeout=0.05)
+            while not stop.is_set():
+                try:
+                    self.process_once(block=True, timeout=0.05)
+                except Exception:  # noqa: BLE001 — keep the daemon alive
+                    # Per-request and per-group failures are already
+                    # converted to error responses inside process_once;
+                    # anything reaching here is unexpected but must not
+                    # silently kill the shared dispatcher.
+                    import traceback
+                    traceback.print_exc()
 
         self._thread = threading.Thread(target=loop, daemon=True,
                                         name="cu2rec-serve-dispatch")

@@ -128,6 +128,19 @@ class ShardedServingEngine:
         return f
 
     @staticmethod
+    def _pad_rows(p_rows, ub_rows):
+        """Host-pad user rows/biases to the pow2 batch signature."""
+        p_rows = np.asarray(p_rows, np.float32)
+        ub_rows = np.asarray(ub_rows, np.float32)
+        B = p_rows.shape[0]
+        Bp = _pow2_pad(B)
+        pp = np.zeros((Bp, p_rows.shape[1]), np.float32)
+        ubp = np.zeros(Bp, np.float32)
+        pp[:B] = p_rows
+        ubp[:B] = ub_rows
+        return pp, ubp
+
+    @staticmethod
     def _pad_rated(rated_items, rated_mask, Bp: int):
         """Host-pad rated lists to a pow2 (Bp, Rp) program signature."""
         rated_items = np.asarray(rated_items)
@@ -165,14 +178,8 @@ class ShardedServingEngine:
 
         Shapes are padded to cached program signatures; surplus rows are
         trimmed from the result.  Returns (scores (B,k), item ids (B,k))."""
-        p_rows = np.asarray(p_rows, np.float32)
-        ub_rows = np.asarray(ub_rows, np.float32)
-        B = p_rows.shape[0]
-        Bp = _pow2_pad(B)
-        pp = np.zeros((Bp, p_rows.shape[1]), np.float32)
-        ubp = np.zeros(Bp, np.float32)
-        pp[:B] = p_rows
-        ubp[:B] = ub_rows
+        B = int(np.shape(p_rows)[0])
+        pp, ubp = self._pad_rows(p_rows, ub_rows)
         vals, idx = self.recommend_padded(pp, ubp, rated_items,
                                           rated_mask, k=k)
         vals, idx = np.asarray(vals), np.asarray(idx)
@@ -182,13 +189,8 @@ class ShardedServingEngine:
         """Host-side lookup: pow2-padded P rows, biases, rated lists."""
         from cu2rec_tpu.serve.recommend import padded_user_lists
         uids = np.asarray(user_ids)
-        B = uids.shape[0]
-        Bp = _pow2_pad(B)
         rated, rmask = padded_user_lists(train_csr, uids)
-        pp = np.zeros((Bp, self.F), np.float32)
-        ubp = np.zeros(Bp, np.float32)
-        pp[:B] = self.P[uids]
-        ubp[:B] = self.user_bias[uids]
+        pp, ubp = self._pad_rows(self.P[uids], self.user_bias[uids])
         return pp, ubp, rated, rmask
 
     def recommend_known_padded(self, user_ids, train_csr, k: int = 10):
@@ -351,11 +353,7 @@ class ShardedServingEngine:
         rated = rng.integers(0, self.n_items,
                              (batch_size, 32)).astype(np.int32)
         rmask = np.ones((batch_size, 32), bool)
-        Bp = _pow2_pad(batch_size)
-        pp = np.zeros((Bp, self.F), np.float32)
-        ubp = np.zeros(Bp, np.float32)
-        pp[:batch_size] = p
-        ubp[:batch_size] = ub
+        pp, ubp = self._pad_rows(p, ub)
         vals, _ = self.recommend_padded(pp, ubp, rated, rmask, k=k)  # compile
         fetch_barrier(vals)
         t0 = time.perf_counter()

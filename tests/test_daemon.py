@@ -149,6 +149,41 @@ def test_warm_precompiles_program_ladder(served):
     assert len(engine._programs) == n0
 
 
+def test_warm_covers_heavy_users_and_extra_ks():
+    """warm() must cover rated-list widths from the CSR's max degree
+    (beyond max_width) and every k in ``ks`` — real traffic within those
+    bounds compiles nothing (regression: widths were capped at max_width
+    and k at default_k, so heavy users / non-default k stalled a live
+    batch on a remote compile)."""
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.serve.daemon import ServingDaemon
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    n_items = 40
+    heavy = np.arange(20, dtype=np.int64)  # user 0 rated 20 items → Rp=32
+    users = np.concatenate([np.zeros(20, np.int64), np.ones(2, np.int64)])
+    items = np.concatenate([heavy, np.array([1, 2])])
+    vals = np.full(22, 3.0, np.float32)
+    csr = csr_from_arrays(users, items, vals, 2, n_items)
+    model = init_model(2, n_items, 4, 3.0, seed=0)
+    eng = ShardedServingEngine(model)
+    daemon = ServingDaemon(eng, train_csr=csr,
+                           cfg=Config(n_factors=4, total_iterations=5,
+                                      is_train=False),
+                           window_ms=0.0, default_k=10)
+    daemon.warm(max_batch=8, max_width=8, ks=(10, 3))
+    n0 = len(eng._programs)
+    futs = [daemon.submit({"id": 1, "op": "recommend", "user": 0, "k": 3}),
+            daemon.submit({"id": 2, "op": "recommend", "user": 1, "k": 10})]
+    done = 0
+    while done < len(futs):
+        done += daemon.process_once(block=False)
+    for f in futs:
+        assert "error" not in f.result(timeout=5)
+    assert len(eng._programs) == n0
+
+
 def test_validation_errors(served):
     daemon, engine, _, _ = served
     bad = [
@@ -161,10 +196,27 @@ def test_validation_errors(served):
           "ratings": [1.0]}, "item ids"),
         ({"id": 5, "op": "recommend", "user": -1}, "'user'"),
         ({"id": 6, "op": "recommend", "user": 10**6}, "'user'"),
+        # non-numeric fields must become error RESPONSES, not exceptions
+        # that kill the dispatcher/transport (regression)
+        ({"id": 7, "op": "recommend", "user": 0, "k": "ten"}, "'k'"),
+        ({"id": 8, "op": "recommend", "user": 0, "k": 0}, "'k'"),
+        ({"id": 9, "op": "fold_in", "items": [None], "ratings": [1.0]},
+         "item ids"),
+        ({"id": 10, "op": "fold_in", "items": [0], "ratings": ["five"]},
+         "'ratings'"),
+        ({"id": 11, "op": "fold_in", "items": [0], "ratings": [1.0],
+          "iterations": "x"}, "'iterations'"),
+        ({"id": 12, "op": "fold_in", "items": [0], "ratings": [1.0],
+          "iterations": -3}, "'iterations'"),
     ]
     for req, frag in bad:
         resp = daemon.submit(req).result(timeout=5)
         assert frag in resp["error"], resp
+    # the daemon must still serve good requests after all that
+    fut = daemon.submit({"id": 99, "op": "recommend", "user": 0, "k": 2})
+    while not fut.done():
+        daemon.process_once(block=False)
+    assert "items" in fut.result(timeout=5)
 
 
 def test_stats(served):
