@@ -340,12 +340,17 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
         chunks = bucketed
     regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
     heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
+    assert len(regs) + len(heavies) == len(chunks), (
+        "unknown chunk tag(s): "
+        f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
     if fused and not _FUSED_DISABLED:
         try:
-            return _als_half_sweep_fused(
+            out = _als_half_sweep_fused(
                 T_self, T_other, regs, heavies, jnp.float32(mu), reg,
                 n_factors=F, weight_by_degree=weight_by_degree,
                 solver=solver)
+            _check_fused_runtime(out)
+            return out
         except jax.errors.JaxRuntimeError as e:
             # At Netflix scale (100M ratings) the ONE-program half-sweep
             # can OOM the compiler itself (observed: remote compile helper
@@ -365,6 +370,25 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
 # Process-wide kill switch for fused half-sweeps, set on the first failed
 # fused compile (ALS and iALS share it — same program shape hazard).
 _FUSED_DISABLED = False
+
+# Output signatures whose fused program has completed one real execution.
+_FUSED_VERIFIED: set = set()
+
+
+def _check_fused_runtime(out) -> None:
+    """Block on the FIRST fused execution per output signature.
+
+    JAX dispatch is async: a fused program can compile fine but fail at
+    execution (e.g. runtime HBM OOM at a new padding size), and without
+    this the error would surface at some later blocking use — outside
+    the caller's try, skipping the per-chunk fallback and killing the
+    run.  Runtime failures are shape-dependent, so verifying the first
+    execution per signature keeps every subsequent call fully async.
+    """
+    key = (out.shape, str(out.dtype))
+    if key not in _FUSED_VERIFIED:
+        jax.block_until_ready(out)
+        _FUSED_VERIFIED.add(key)
 
 
 def _disable_fused(exc: Exception) -> None:

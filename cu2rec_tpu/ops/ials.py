@@ -82,30 +82,46 @@ def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
     from cu2rec_tpu.ops import als as _als
     regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
     heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
+    assert len(regs) + len(heavies) == len(chunks), (
+        "unknown chunk tag(s): "
+        f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
     if fused and not _als._FUSED_DISABLED:
         try:
-            return _ials_half_sweep_fused(
+            out = _ials_half_sweep_fused(
                 T_self, T_other, regs, heavies, jnp.float32(alpha),
                 jnp.float32(reg), solver=solver)
+            _als._check_fused_runtime(out)
+            return out
         except jax.errors.JaxRuntimeError as e:
             _als._disable_fused(e)  # shared sticky kill switch
     return _ials_sweep_body(T_self, T_other, regs, heavies,
-                            jnp.float32(alpha), jnp.float32(reg), solver)
+                            jnp.float32(alpha), jnp.float32(reg), solver,
+                            barrier=False)
 
 
-def _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver):
+def _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver,
+                     barrier=True):
     # Barrier per chunk: stops XLA hoisting every chunk's T_other gather
     # to the program start when the body is jitted whole (see
     # ops/als._als_half_sweep_fused — the unserialized form OOMed HBM).
+    # The eager fallback path passes barrier=False: per-chunk dispatch is
+    # already serialized, and an eager optimization_barrier over the full
+    # factor table would just add one wasted dispatch per chunk.
     G = gramian(T_other)
     T_new = T_self
     for cols, vals, mask, rows in regs:
-        T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        if barrier:
+            T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        else:
+            T_dep = T_other
         theta = _solve_ials_bucket(T_dep, G, cols, vals, mask, a, r,
                                    solver=solver)
         T_new = T_new.at[rows].set(theta.astype(T_self.dtype), mode="drop")
     for cols, vals, mask, rows, s0, s1, _deg in heavies:
-        T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        if barrier:
+            T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
+        else:
+            T_dep = T_other
         theta = _solve_ials_heavy(T_dep, G, cols, vals, mask, s0, s1,
                                   a, r, solver=solver)
         T_new = T_new.at[rows].set(theta.astype(T_self.dtype), mode="drop")
