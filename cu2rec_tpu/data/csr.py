@@ -150,6 +150,12 @@ class DeviceRatings:
     n_items: int
     it_indptr: object = None     # jnp (n_items+1,) int32, or None
     it_pair_pack: object = None  # jnp (nnz_padded/64, 128) int32, or None
+    # Max user-range width any EVAL_WINDOW_CHUNK-rating slice of row_ids
+    # spans (0 = unknown).  Static metadata that lets eval dynamic-slice a
+    # VMEM-sized window of the user table per chunk and gather locally at
+    # the fast small-table rate (246 vs 82 M rows/s measured,
+    # results/vmem-gather.jsonl) — see ops/loss.py.
+    eval_span: int = 0
 
 
 def transpose_csr(csr: CSRRatings):
@@ -212,6 +218,7 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
         n_items=csr.n_items,
         it_indptr=it_indptr,
         it_pair_pack=it_pair,
+        eval_span=eval_window_span(csr.row_ids, nnz),
     )
 
 
@@ -221,5 +228,25 @@ _jtu.register_dataclass(
     DeviceRatings,
     data_fields=["indptr", "indices", "data", "row_ids", "pair_pack",
                  "it_indptr", "it_pair_pack"],
-    meta_fields=["nnz", "n_users", "n_items"],
+    meta_fields=["nnz", "n_users", "n_items", "eval_span"],
 )
+
+# Scan-chunk size the windowed eval path uses; eval_span is computed for
+# slices of this many ratings.
+EVAL_WINDOW_CHUNK = 1 << 18
+
+
+def eval_window_span(row_ids: np.ndarray, nnz: int,
+                     chunk: int = EVAL_WINDOW_CHUNK) -> int:
+    """Max row-range width any ``chunk``-rating slice spans (host-side).
+
+    Requires ``row_ids[:nnz]`` non-decreasing (the CSR expansion is).
+    Rounded up to a multiple of 8 for friendly tiling.
+    """
+    if nnz <= 0:
+        return 0
+    starts = np.arange(0, nnz, chunk)
+    ends = np.minimum(starts + chunk, nnz) - 1
+    span = int((row_ids[ends].astype(np.int64)
+                - row_ids[starts].astype(np.int64)).max() + 1)
+    return -(-span // 8) * 8

@@ -22,8 +22,42 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from cu2rec_tpu.data.csr import DeviceRatings
+from cu2rec_tpu.data.csr import EVAL_WINDOW_CHUNK, DeviceRatings
 from cu2rec_tpu.models.state import MFModel
+
+# The windowed user-row path (below) engages only when the user table
+# exceeds the VMEM fast-gather regime and the window fits it — measured
+# boundaries from results/vmem-gather.jsonl (gathers from ≤16 MB tables
+# run 3×: 246 vs 82 M rows/s).
+_WINDOW_TABLE_MIN = 12 << 20
+_WINDOW_MAX_BYTES = 16 << 20
+
+
+def _window_span(dev: DeviceRatings, n_rows: int, row_bytes: int) -> int:
+    """The static window span to use, or 0 for the plain gather path.
+
+    Eligibility: row_ids non-decreasing (guaranteed by the CSR expansion;
+    ``eval_span`` > 0 is the builder's attestation), the table big enough
+    that the large-table gather rate applies, and the window small enough
+    to stay in the fast regime.
+    """
+    s = dev.eval_span
+    if (0 < s < n_rows and n_rows * row_bytes > _WINDOW_TABLE_MIN
+            and s * row_bytes <= _WINDOW_MAX_BYTES):
+        return s
+    return 0
+
+
+def _window_rows(table, rows, span: int):
+    """table[rows] where all ``rows`` (except masked pad entries, which
+    may be 0) lie in a ``span``-wide ascending window starting at
+    ``rows[0]``: dynamic-slice the window once, gather locally at the
+    small-table rate."""
+    n = table.shape[0]
+    u0 = jnp.minimum(rows[0], n - span)
+    win = jax.lax.dynamic_slice(
+        table, (u0,) + (0,) * (table.ndim - 1), (span,) + table.shape[1:])
+    return win[jnp.clip(rows - u0, 0, span - 1)]
 
 
 def pairwise_errors(P, Q, user_bias, item_bias, global_bias,
@@ -74,13 +108,54 @@ def error_sums(P, Q, user_bias, item_bias, global_bias,
     return sse, sae
 
 
-@partial(jax.jit, static_argnames=("chunk_size",))
-def _eval_jit(model: MFModel, dev: DeviceRatings, chunk_size: int):
+def _chunked(dev: DeviceRatings, chunk_size: int):
+    """Pad + reshape the flat rating arrays into scan chunks."""
     n = dev.indices.shape[0]
     mask = jnp.arange(n, dtype=jnp.int32) < jnp.int32(dev.nnz)
-    sse, sae = error_sums(model.P, model.Q, model.user_bias, model.item_bias,
-                          model.global_bias, dev.row_ids, dev.indices,
-                          dev.data, mask, chunk_size)
+    n_chunks = max(-(-n // chunk_size), 1)
+    padded = n_chunks * chunk_size
+
+    def pad(x, fill=0):
+        return jnp.pad(x, (0, padded - n), constant_values=fill)
+
+    return (pad(dev.row_ids).reshape(n_chunks, -1),
+            pad(dev.indices).reshape(n_chunks, -1),
+            pad(dev.data).reshape(n_chunks, -1),
+            pad(mask, False).reshape(n_chunks, -1))
+
+
+def _scan_error_sums(dev: DeviceRatings, chunk_size: int, chunk_err):
+    """(Σ err², Σ |err|) with ``chunk_err(rows, cols, vals, mask)``
+    evaluated per scan chunk."""
+    def body(carry, chunk):
+        sse, sae = carry
+        err = chunk_err(*chunk)
+        return (sse + jnp.sum(err * err), sae + jnp.sum(jnp.abs(err))), None
+
+    (sse, sae), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
+                                 _chunked(dev, chunk_size))
+    return sse, sae
+
+
+@partial(jax.jit, static_argnames=("chunk_size",))
+def _eval_jit(model: MFModel, dev: DeviceRatings, chunk_size: int):
+    span = _window_span(dev, model.P.shape[0], model.P.shape[1] * 4)
+    if span == 0:
+        n = dev.indices.shape[0]
+        mask = jnp.arange(n, dtype=jnp.int32) < jnp.int32(dev.nnz)
+        sse, sae = error_sums(model.P, model.Q, model.user_bias,
+                              model.item_bias, model.global_bias,
+                              dev.row_ids, dev.indices, dev.data, mask,
+                              chunk_size)
+    else:
+        def chunk_err(rows, cols, vals, m):
+            ru = _window_rows(model.P, rows, span)
+            pred = (model.global_bias + model.user_bias[rows]
+                    + model.item_bias[cols]
+                    + jnp.sum(ru * model.Q[cols], axis=-1))
+            return jnp.where(m, vals - pred, 0.0)
+
+        sse, sae = _scan_error_sums(dev, EVAL_WINDOW_CHUNK, chunk_err)
     denom = jnp.float32(dev.nnz)
     return jnp.sqrt(sse / denom), sae / denom
 
@@ -97,40 +172,31 @@ def evaluate(model: MFModel, dev: DeviceRatings,
 @partial(jax.jit, static_argnames=("chunk_size",))
 def _eval_packed_jit(pm, dev: DeviceRatings, chunk_size: int):
     """Eval over packed tables: one row gather per side fetches factors and
-    bias together (see cu2rec_tpu.ops.packed)."""
+    bias together (see cu2rec_tpu.ops.packed).
+
+    When the user table is past the VMEM fast-gather regime and the
+    builder attested ascending row_ids (``dev.eval_span``), the user rows
+    come through :func:`_window_rows` — measured 3.2× end-to-end at
+    ML-20M scale (0.470 → 0.147 s, results/eval-probe.jsonl)."""
     F = pm.n_factors
-    n = dev.indices.shape[0]
-    mask = jnp.arange(n, dtype=jnp.int32) < jnp.int32(dev.nnz)
     W = pm.width
     col = jnp.arange(W)
     factor = (col < F).astype(jnp.float32)
     biascol = (col == F).astype(jnp.float32)
+    span = _window_span(dev, pm.T_u.shape[0], W * 4)
 
     def chunk_err(rows, cols, vals, m):
-        ru = pm.T_u[rows].astype(jnp.float32)
+        if span == 0:
+            ru = pm.T_u[rows].astype(jnp.float32)
+        else:
+            ru = _window_rows(pm.T_u, rows, span).astype(jnp.float32)
         ri = pm.T_i[cols].astype(jnp.float32)
         ihat = ri * factor + biascol
         pred = pm.global_bias + jnp.sum(ru * ihat, axis=-1) + ri[:, F]
         return jnp.where(m, vals - pred, 0.0)
 
-    n_chunks = max(-(-n // chunk_size), 1)
-    padded = n_chunks * chunk_size
-
-    def pad(x, fill=0):
-        return jnp.pad(x, (0, padded - n), constant_values=fill)
-
-    rows_c = pad(dev.row_ids).reshape(n_chunks, -1)
-    cols_c = pad(dev.indices).reshape(n_chunks, -1)
-    vals_c = pad(dev.data).reshape(n_chunks, -1)
-    mask_c = pad(mask, False).reshape(n_chunks, -1)
-
-    def body(carry, chunk):
-        sse, sae = carry
-        err = chunk_err(*chunk)
-        return (sse + jnp.sum(err * err), sae + jnp.sum(jnp.abs(err))), None
-
-    (sse, sae), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
-                                 (rows_c, cols_c, vals_c, mask_c))
+    sse, sae = _scan_error_sums(
+        dev, EVAL_WINDOW_CHUNK if span else chunk_size, chunk_err)
     denom = jnp.float32(dev.nnz)
     return jnp.sqrt(sse / denom), sae / denom
 

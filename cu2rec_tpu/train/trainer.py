@@ -87,10 +87,13 @@ def _subsample_dev(csr: CSRRatings, n_sample: int, seed: int,
     """Random rating subsample as a DeviceRatings (train-eval speedup)."""
     import numpy as np
 
+    from cu2rec_tpu.data.csr import eval_window_span
+
     rng = np.random.default_rng(seed)
     sel = np.sort(rng.choice(csr.nnz, size=n_sample, replace=False))
     padded = -(-n_sample // pad_multiple) * pad_multiple
     pad = padded - n_sample
+    row_ids = csr.row_ids[sel]  # ascending: sel is sorted
     # indptr=None deliberately: the subsample's indices/data no longer
     # correspond to the full CSR's indptr, and eval never reads indptr —
     # any future caller that tries to sample from this (sample_items reads
@@ -99,9 +102,10 @@ def _subsample_dev(csr: CSRRatings, n_sample: int, seed: int,
         indptr=None,
         indices=jnp.asarray(np.pad(csr.indices[sel], (0, pad))),
         data=jnp.asarray(np.pad(csr.data[sel], (0, pad))),
-        row_ids=jnp.asarray(np.pad(csr.row_ids[sel], (0, pad))),
+        row_ids=jnp.asarray(np.pad(row_ids, (0, pad))),
         pair_pack=None,
-        nnz=n_sample, n_users=csr.n_users, n_items=csr.n_items)
+        nnz=n_sample, n_users=csr.n_users, n_items=csr.n_items,
+        eval_span=eval_window_span(row_ids, n_sample))
 
 
 class SingleChipEngine:

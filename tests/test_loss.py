@@ -63,6 +63,51 @@ def test_evaluate_on_device(toy_csr):
     np.testing.assert_allclose(mae, expected_mae, rtol=1e-6)
 
 
+def test_windowed_eval_matches_plain(toy_csr):
+    """The windowed user-row path (dynamic-slice window + local gather)
+    must agree with the plain gather path on both eval entry points.
+
+    The gate needs a user table past _WINDOW_TABLE_MIN (12 MB) and a
+    window strictly smaller than it, so: 26K users at W=128 (13.3 MB
+    packed) with ratings confined to a 16K-user band."""
+    import dataclasses
+
+    import jax
+
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.ops.loss import (
+        _window_span, evaluate, evaluate_packed,
+    )
+    from cu2rec_tpu.ops.packed import pack
+
+    U, I, R = 26_000, 500, 40_000
+    rng = np.random.default_rng(7)
+    users = np.sort(rng.integers(4_000, 20_000, size=R, dtype=np.int32))
+    items = rng.integers(0, I, size=R, dtype=np.int32)
+    vals = rng.uniform(1.0, 5.0, size=R).astype(np.float32)
+    csr = csr_from_arrays(users, items, vals, U, I)
+    dev = to_device(csr)
+    assert 0 < dev.eval_span <= 16_008
+
+    key = jax.random.PRNGKey(0)
+    m = MFModel(P=jax.random.normal(key, (U, 127)) * 0.1,
+                Q=jax.random.normal(key, (I, 127)) * 0.1,
+                user_bias=jnp.zeros(U), item_bias=jnp.zeros(I),
+                global_bias=jnp.float32(3.0))
+    pm = pack(m)
+    assert _window_span(dev, pm.T_u.shape[0], pm.width * 4) > 0
+
+    dev_plain = dataclasses.replace(dev, eval_span=0)  # forces plain path
+    r_w, mae_w = evaluate_packed(pm, dev)
+    r_p, mae_p = evaluate_packed(pm, dev_plain)
+    np.testing.assert_allclose(r_w, r_p, rtol=1e-6)
+    np.testing.assert_allclose(mae_w, mae_p, rtol=1e-6)
+    r_w, mae_w = evaluate(m, dev)
+    r_p, mae_p = evaluate(m, dev_plain)
+    np.testing.assert_allclose(r_w, r_p, rtol=1e-6)
+    np.testing.assert_allclose(mae_w, mae_p, rtol=1e-6)
+
+
 def test_evaluate_respects_padding(toy_csr):
     m = ones_model(toy_csr.n_users, toy_csr.n_items)
     dev = to_device(toy_csr, pad_multiple=32)
