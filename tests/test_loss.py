@@ -63,6 +63,25 @@ def test_evaluate_on_device(toy_csr):
     np.testing.assert_allclose(mae, expected_mae, rtol=1e-6)
 
 
+def test_eval_window_span():
+    from cu2rec_tpu.data.csr import eval_window_span
+
+    # empty / degenerate
+    assert eval_window_span(np.array([], dtype=np.int32), 0) == 0
+    # one chunk spanning rows 3..10 → span 8
+    rids = np.repeat(np.arange(3, 11, dtype=np.int32), 5)
+    assert eval_window_span(rids, len(rids), chunk=1000) == 8
+    # chunk=5: each 5-rating slice stays within 2 consecutive rows →
+    # span 2, rounded up to 8
+    assert eval_window_span(rids, len(rids), chunk=5) == 8
+    # rounding: span 9 → 16
+    rids = np.repeat(np.arange(9, dtype=np.int32), 2)
+    assert eval_window_span(rids, len(rids), chunk=1000) == 16
+    # nnz cuts off trailing rows (padding ignored)
+    rids = np.array([0, 0, 1, 1, 99, 99], dtype=np.int32)
+    assert eval_window_span(rids, 4, chunk=1000) == 8
+
+
 def test_windowed_eval_matches_plain(toy_csr):
     """The windowed user-row path (dynamic-slice window + local gather)
     must agree with the plain gather path on both eval entry points.
