@@ -25,6 +25,8 @@ def main() -> None:
     p.add_argument("--factors", type=int, default=50)
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--collision", default="first_wins",
+                   choices=["first_wins", "mean", "sum", "twin"])
     args = p.parse_args()
 
     from cu2rec_tpu.utils.cache import enable_compile_cache
@@ -54,7 +56,7 @@ def main() -> None:
     del users, items, vals
 
     t0 = time.perf_counter()
-    dev = to_device(csr)
+    dev = to_device(csr, item_major=args.collision == "twin")
     fetch_barrier(dev.data)
     print(f"H2D upload: {time.perf_counter() - t0:.1f}s "
           f"(~{(csr.nnz * 12) / 1e9:.1f} GB)")
@@ -66,13 +68,13 @@ def main() -> None:
 
     t0 = time.perf_counter()
     pm = packed_run_steps(pm, dev, hp, key, jnp.int32(0), 10, True,
-                          "first_wins")
+                          args.collision)
     fetch_barrier(pm.T_u)
     print(f"compile+10 steps: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     pm = packed_run_steps(pm, dev, hp, key, jnp.int32(10), args.iters, True,
-                          "first_wins")
+                          args.collision)
     fetch_barrier(pm.T_u)
     dt = (time.perf_counter() - t0) / args.iters
     print(f"per-step: {dt * 1e3:.3f} ms ({U / dt / 1e6:.1f}M updates/s; "

@@ -27,6 +27,10 @@ import os
 import subprocess
 import time
 
+from cu2rec_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # remote compiles cost minutes each without it
+
 
 def git_commit() -> str:
     try:
