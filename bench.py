@@ -66,6 +66,13 @@ def main() -> None:
     fetch_barrier(pm20.T_u)
     dt20 = time.perf_counter() - t0
     ml20m_ups = U * iters20 / dt20
+
+    # full-train-set eval at the same scale (windowed user-row path)
+    from cu2rec_tpu.ops.loss import evaluate_packed
+    evaluate_packed(pm20, dev20)  # compile
+    t0 = time.perf_counter()
+    evaluate_packed(pm20, dev20)
+    eval20_s = time.perf_counter() - t0
     del pm20, dev20
 
     # ---- ALS sweep rate at the same scale (Pallas lane-batched solver) --
@@ -159,6 +166,7 @@ def main() -> None:
                 "ms_per_step": round(dt20 / iters20 * 1e3, 3),
             },
             "als_ml20m_s_per_sweep": round(als_sweep_s, 3),
+            "eval_ml20m_s": round(eval20_s, 3),
             "ml100k_first_wins_updates_per_s": round(ml100k_ups, 1),
             "cpu_sequential_updates_per_s": round(cpu_ups, 1),
             "serving_top10_users_per_s": round(serve_qps, 1),
