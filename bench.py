@@ -93,11 +93,14 @@ def main() -> None:
         return T_u, T_i
 
     T_u, T_i = als_sweep(T_u, T_i)
-    fetch_barrier(T_u)
+    # Barrier BOTH tables: the item half-sweep is a separate program, so
+    # barriering only T_u would let the final (20M-rating) item half
+    # escape the timed region.
+    fetch_barrier((T_u, T_i))
     t0 = time.perf_counter()
     for _ in range(2):
         T_u, T_i = als_sweep(T_u, T_i)
-    fetch_barrier(T_u)
+    fetch_barrier((T_u, T_i))
     als_sweep_s = (time.perf_counter() - t0) / 2
     del T_u, T_i, ub, ib, pma
 

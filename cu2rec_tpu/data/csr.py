@@ -178,7 +178,8 @@ def _interleave_pairs(ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
 
 
 def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
-              item_major: bool = False) -> DeviceRatings:
+              item_major: bool = False,
+              pair_pack: bool = True) -> DeviceRatings:
     """Upload a host CSR to the device (the H→D boundary of matrix.cu:28-40).
 
     Padding rows carry user=0/item=0/rating=0 and are masked out by eval via
@@ -188,6 +189,12 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
 
     ``item_major=True`` also uploads the transposed (item-major) sampling
     structure used by the twin-sampling step — +8 bytes/rating of HBM.
+
+    ``pair_pack=False`` skips the interleaved sampling mirror (+8
+    bytes/rating of HBM *and* upload time) for consumers that only
+    evaluate or bucket-solve (ALS/iALS) and never sample — at 100M
+    ratings over this environment's ~18 MB/s tunnel that mirror alone
+    costs ~45 s of dead upload.
     """
     import jax
     import jax.numpy as jnp
@@ -198,7 +205,11 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
     pad = padded - nnz
     indices = np.pad(csr.indices, (0, pad))
     data = np.pad(csr.data, (0, pad))
-    row_ids = np.pad(csr.row_ids, (0, pad))
+    # csr.row_ids is a rebuilt-per-access property; materialize once and
+    # reuse for both the upload and the eval-span scan (at Netflix scale a
+    # second access costs ~400 MB and a full 100M-element repeat pass).
+    row_ids_host = csr.row_ids
+    row_ids = np.pad(row_ids_host, (0, pad))
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
         else jnp.asarray
     it_indptr = it_pair = None
@@ -212,13 +223,14 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
         indices=put(indices),
         data=put(data),
         row_ids=put(row_ids),
-        pair_pack=put(_interleave_pairs(indices, data)),
+        pair_pack=put(_interleave_pairs(indices, data)) if pair_pack
+        else None,
         nnz=nnz,
         n_users=csr.n_users,
         n_items=csr.n_items,
         it_indptr=it_indptr,
         it_pair_pack=it_pair,
-        eval_span=eval_window_span(csr.row_ids, nnz),
+        eval_span=eval_window_span(row_ids_host, nnz),
     )
 
 

@@ -156,15 +156,18 @@ def generate_planted_implicit(n_users: int, n_items: int, n_ratings: int,
         u01 = rng.random(n_chunk) + rows
         flat_pos = np.searchsorted(flat_cdf, u01)
         drawn = (flat_pos - rows.astype(np.int64) * n_items).astype(np.int32)
-        items[pos:pos + n_chunk] = np.minimum(drawn, n_items - 1)
+        # Clip BOTH ends: rng.random() == 0.0 lands side='left' searchsorted
+        # on the previous row's final cdf entry (exactly == the row offset),
+        # yielding drawn == -1; min-only clamping would write a -1 item id.
+        items[pos:pos + n_chunk] = np.clip(drawn, 0, n_items - 1)
         pos += n_chunk
         # Oracle-AUC Monte Carlo on this chunk's users.
         m = min(per_chunk_oracle, c)
         sel = rng.integers(0, c, size=m)
         su = rng.random(m) + sel
-        p_items = np.minimum(
+        p_items = np.clip(
             (np.searchsorted(flat_cdf, su) - sel.astype(np.int64) * n_items),
-            n_items - 1)
+            0, n_items - 1)
         n_items_draw = rng.integers(0, n_items, size=m)
         a = P[lo + sel]
         s_pos = np.einsum("mf,mf->m", a, Q[p_items]) + ib[p_items]

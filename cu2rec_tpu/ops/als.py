@@ -340,16 +340,21 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
         chunks = bucketed
     regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
     heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
-    assert len(regs) + len(heavies) == len(chunks), (
-        "unknown chunk tag(s): "
-        f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
+    if len(regs) + len(heavies) != len(chunks):
+        # Explicit raise (not assert): under python -O a silently dropped
+        # chunk means those rows' solves never run — quiet model damage.
+        raise ValueError(
+            "unknown chunk tag(s): "
+            f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
     if fused and not _FUSED_DISABLED:
         try:
             out = _als_half_sweep_fused(
                 T_self, T_other, regs, heavies, jnp.float32(mu), reg,
                 n_factors=F, weight_by_degree=weight_by_degree,
                 solver=solver)
-            _check_fused_runtime(out)
+            _check_fused_runtime(
+                out, ("als", solver, weight_by_degree,
+                      _chunks_sig(regs), _chunks_sig(heavies)))
             return out
         except jax.errors.JaxRuntimeError as e:
             # At Netflix scale (100M ratings) the ONE-program half-sweep
@@ -371,23 +376,38 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
 # fused compile (ALS and iALS share it — same program shape hazard).
 _FUSED_DISABLED = False
 
-# Output signatures whose fused program has completed one real execution.
+# Program signatures whose fused executable has completed one real
+# execution (algo tag + solver + per-chunk shapes + output aval — i.e. the
+# jit cache key modulo values, so two distinct executables never alias).
 _FUSED_VERIFIED: set = set()
 
 
-def _check_fused_runtime(out) -> None:
-    """Block on the FIRST fused execution per output signature.
+def _chunks_sig(chunks) -> tuple:
+    """Shape/dtype signature of a prepared chunk tuple — distinguishes
+    fused executables that share an output aval but differ in chunking."""
+    return tuple(
+        tuple((tuple(a.shape), str(a.dtype)) if hasattr(a, "shape")
+              else a for a in ch)
+        for ch in chunks)
+
+
+def _check_fused_runtime(out, sig) -> None:
+    """Block on the FIRST fused execution per program signature.
 
     JAX dispatch is async: a fused program can compile fine but fail at
     execution (e.g. runtime HBM OOM at a new padding size), and without
     this the error would surface at some later blocking use — outside
     the caller's try, skipping the per-chunk fallback and killing the
     run.  Runtime failures are shape-dependent, so verifying the first
-    execution per signature keeps every subsequent call fully async.
+    execution per program signature keeps every subsequent call fully
+    async.  Uses a dependent device→host fetch, not block_until_ready:
+    on this platform's tunneled runtime block_until_ready can return
+    before the program actually finishes (see utils/timing).
     """
-    key = (out.shape, str(out.dtype))
+    key = (sig, out.shape, str(out.dtype))
     if key not in _FUSED_VERIFIED:
-        jax.block_until_ready(out)
+        from cu2rec_tpu.utils.timing import fetch_barrier
+        fetch_barrier(out)
         _FUSED_VERIFIED.add(key)
 
 

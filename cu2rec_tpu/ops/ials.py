@@ -82,15 +82,20 @@ def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
     from cu2rec_tpu.ops import als as _als
     regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
     heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
-    assert len(regs) + len(heavies) == len(chunks), (
-        "unknown chunk tag(s): "
-        f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
+    if len(regs) + len(heavies) != len(chunks):
+        # Explicit raise (not assert): python -O must not silently skip
+        # rows' solves (see ops/als.als_half_sweep).
+        raise ValueError(
+            "unknown chunk tag(s): "
+            f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
     if fused and not _als._FUSED_DISABLED:
         try:
             out = _ials_half_sweep_fused(
                 T_self, T_other, regs, heavies, jnp.float32(alpha),
                 jnp.float32(reg), solver=solver)
-            _als._check_fused_runtime(out)
+            _als._check_fused_runtime(
+                out, ("ials", solver, _als._chunks_sig(regs),
+                      _als._chunks_sig(heavies)))
             return out
         except jax.errors.JaxRuntimeError as e:
             _als._disable_fused(e)  # shared sticky kill switch

@@ -83,6 +83,10 @@ class ServingDaemon:
         self._completer: threading.Thread | None = None
         self._completions: queue.Queue | None = None
         self._stop = threading.Event()
+        # Counters are touched from every connection thread (submit) and
+        # the dispatcher (process_once) — guard the read-modify-writes or
+        # pooled multi-client load loses increments.
+        self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
         self.n_batched_requests = 0
@@ -95,14 +99,22 @@ class ServingDaemon:
         if err is not None:
             fut.set_result({"id": req.get("id"), "error": err})
             return fut
-        self.n_requests += 1
+        with self._stats_lock:
+            self.n_requests += 1
         if req["op"] == "stats":
             fut.set_result(self._stats(req))
             return fut
         self._queue.put(_Pending(req, fut))
         return fut
 
+    @staticmethod
+    def _is_int(x) -> bool:
+        # bool is a subclass of int in Python — "user": true must not
+        # silently serve user 1.
+        return isinstance(x, int) and not isinstance(x, bool)
+
     def _validate(self, req: dict) -> str | None:
+        import math
         if not isinstance(req, dict):
             return "request must be a JSON object"
         op = req.get("op")
@@ -114,18 +126,22 @@ class ServingDaemon:
             if not isinstance(ratings, list) or len(ratings) != len(items):
                 return "'ratings' must match 'items' in length"
             n_items = self.engine.n_items
-            if not all(isinstance(i, int) and 0 <= i < n_items
+            if not all(self._is_int(i) and 0 <= i < n_items
                        for i in items):
                 return f"item ids must be ints in [0, {n_items})"
-            if not all(isinstance(r, (int, float)) for r in ratings):
-                return "'ratings' must be numbers"
+            # Finite only: a NaN rating propagates through the fold-in SGD
+            # and turns the whole response into a silently empty list.
+            if not all(isinstance(r, (int, float))
+                       and not isinstance(r, bool) and math.isfinite(r)
+                       for r in ratings):
+                return "'ratings' must be finite numbers"
             it = req.get("iterations")
-            if it is not None and not (isinstance(it, int) and it >= 0):
+            if it is not None and not (self._is_int(it) and it >= 0):
                 return "'iterations' must be a non-negative int"
         elif op == "recommend":
             u = req.get("user")
             n_users = int(np.shape(self.engine.P)[0])
-            if not isinstance(u, int) or not (0 <= u < n_users):
+            if not self._is_int(u) or not (0 <= u < n_users):
                 return f"'user' must be an int in [0, {n_users})"
         elif op == "stats":
             pass
@@ -133,20 +149,22 @@ class ServingDaemon:
             return f"unknown op: {op!r}"
         if op != "stats":
             k = req.get("k")
-            if k is not None and not (isinstance(k, int) and k > 0):
+            if k is not None and not (self._is_int(k) and k > 0):
                 return "'k' must be a positive int"
         return None
 
     def _stats(self, req: dict) -> dict:
+        with self._stats_lock:
+            n_req, n_bat, n_breq = (self.n_requests, self.n_batches,
+                                    self.n_batched_requests)
         return {
             "id": req.get("id"),
             "n_items": self.engine.n_items,
             "n_factors": self.engine.F,
             "n_shards": self.engine.n_ip,
-            "requests": self.n_requests,
-            "batches": self.n_batches,
-            "mean_batch": (self.n_batched_requests / self.n_batches
-                           if self.n_batches else 0.0),
+            "requests": n_req,
+            "batches": n_bat,
+            "mean_batch": (n_breq / n_bat if n_bat else 0.0),
         }
 
     # -- dispatch ----------------------------------------------------------
@@ -202,8 +220,9 @@ class ServingDaemon:
                     completions.put((grp, scores, ids))
                 else:
                     self._finish(grp, scores, ids)
-            self.n_batches += 1
-            self.n_batched_requests += len(grp)
+            with self._stats_lock:
+                self.n_batches += 1
+                self.n_batched_requests += len(grp)
         return len(pend)
 
     @staticmethod

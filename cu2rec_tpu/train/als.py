@@ -60,19 +60,23 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         axis = mesh.axis_names[0]
         row_sharding = NamedSharding(mesh, PartitionSpec(axis))
 
-    train_dev = to_device(train_csr)
-    test_dev = to_device(test_csr)
+    # pair_pack=False: ALS never samples, so the interleaved sampling
+    # mirror (+8 bytes/rating, ~45 s of tunnel upload at 100M ratings)
+    # would be dead weight; eval reads only row_ids/indices/data.
+    train_dev = to_device(train_csr, pair_pack=False)
     # Eval-cost bounding at 100M-rating scale, same knobs as the SGD
-    # trainer (Config.train_eval_sample / test_eval_sample).
+    # trainer (Config.train_eval_sample / test_eval_sample).  When the
+    # subsample replaces a split, skip the full upload entirely.
     from cu2rec_tpu.train.trainer import _subsample_dev
     train_eval_dev = train_dev
     if cfg.train_eval_sample and train_csr.nnz > cfg.train_eval_sample:
         train_eval_dev = _subsample_dev(train_csr, cfg.train_eval_sample,
                                         cfg.seed)
-    test_eval_dev = test_dev
     if cfg.test_eval_sample and test_csr.nnz > cfg.test_eval_sample:
         test_eval_dev = _subsample_dev(test_csr, cfg.test_eval_sample,
                                        cfg.seed + 1)
+    else:
+        test_eval_dev = to_device(test_csr, pair_pack=False)
 
     if device_buckets is None:
         device_buckets = train_csr.nnz > 5_000_000

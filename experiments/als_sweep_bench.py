@@ -101,11 +101,13 @@ def main() -> int:
         else:
             T_u, T_i = pm.T_u, pm.T_i
         T_u, T_i = sweep(T_u, T_i)          # warmup / compile
-        fetch_barrier(T_u)
+        # Both tables: the item half-sweep is its own program and would
+        # otherwise straddle the timing boundary.
+        fetch_barrier((T_u, T_i))
         t0 = time.perf_counter()
         for _ in range(args.sweeps):
             T_u, T_i = sweep(T_u, T_i)
-        fetch_barrier(T_u)
+        fetch_barrier((T_u, T_i))
         dt = (time.perf_counter() - t0) / args.sweeps
         rec = {"kind": "als_sweep", "algo": args.algo, "solver": solver,
                "users": U, "items": I, "ratings": R, "factors": F,

@@ -328,3 +328,36 @@ def test_fused_compile_failure_falls_back(toy_csr, monkeypatch):
     np.testing.assert_array_equal(got, want)
     assert als_mod._FUSED_DISABLED
     monkeypatch.setattr(als_mod, "_FUSED_DISABLED", False)
+
+
+def test_unknown_chunk_tag_raises(toy_csr):
+    """Unknown-tagged chunks must raise (not assert): under python -O a
+    dropped chunk means those rows' solves silently never run."""
+    import pytest
+
+    from cu2rec_tpu.ops.als import als_half_sweep, bucket_csr, prepare_chunks
+
+    pm = pack(init_model(toy_csr.n_users, toy_csr.n_items, 8, 3.5, seed=2))
+    chunks = prepare_chunks(
+        bucket_csr(toy_csr.indptr, toy_csr.indices, toy_csr.data),
+        8, toy_csr.n_users, None)
+    bad = tuple(chunks) + (("mystery",) + tuple(chunks[0][1:]),)
+    with pytest.raises(ValueError, match="unknown chunk tag"):
+        als_half_sweep(pm.T_u, pm.T_i, bad, jnp.float32(3.5), 0.05, 0.05, 8)
+
+
+def test_fused_verify_distinguishes_programs(toy_csr, monkeypatch):
+    """_FUSED_VERIFIED must key on the program signature (solver + chunk
+    shapes), not just the output aval: two different executables with the
+    same output shape each need their first execution verified so a
+    runtime failure still lands inside the caller's try."""
+    import cu2rec_tpu.ops.als as als_mod
+
+    pm = pack(init_model(toy_csr.n_users, toy_csr.n_items, 8, 3.5, seed=2))
+    buckets = bucket_csr(toy_csr.indptr, toy_csr.indices, toy_csr.data)
+    monkeypatch.setattr(als_mod, "_FUSED_VERIFIED", set())
+    for solver in ("blocked", "auto"):
+        als_mod.als_half_sweep(pm.T_u, pm.T_i, buckets, jnp.float32(3.5),
+                               0.05, 0.05, 8, solver=solver)
+    # same output aval, different solver -> two distinct verified entries
+    assert len(als_mod._FUSED_VERIFIED) == 2

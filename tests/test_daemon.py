@@ -208,6 +208,17 @@ def test_validation_errors(served):
           "iterations": "x"}, "'iterations'"),
         ({"id": 12, "op": "fold_in", "items": [0], "ratings": [1.0],
           "iterations": -3}, "'iterations'"),
+        # NaN/Inf would propagate through the fold-in SGD and produce a
+        # silently empty recommendation list; must be rejected up front
+        ({"id": 13, "op": "fold_in", "items": [0],
+          "ratings": [float("nan")]}, "'ratings'"),
+        ({"id": 14, "op": "fold_in", "items": [0],
+          "ratings": [float("inf")]}, "'ratings'"),
+        # bool is a subclass of int; "user": true must not serve user 1
+        ({"id": 15, "op": "recommend", "user": True}, "'user'"),
+        ({"id": 16, "op": "recommend", "user": 0, "k": True}, "'k'"),
+        ({"id": 17, "op": "fold_in", "items": [True], "ratings": [1.0]},
+         "item ids"),
     ]
     for req, frag in bad:
         resp = daemon.submit(req).result(timeout=5)

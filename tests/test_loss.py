@@ -134,3 +134,21 @@ def test_evaluate_respects_padding(toy_csr):
     assert dev.indices.shape[0] == 64
     rmse, _ = evaluate(m, dev)
     np.testing.assert_allclose(rmse, float(np.sqrt(74.0 / 18.0)), rtol=1e-6)
+
+
+def test_eval_only_upload_matches_full(toy_csr):
+    """to_device(pair_pack=False) (the ALS/iALS eval-only upload — skips
+    the nnz-sized sampling mirror) must evaluate identically to the full
+    upload."""
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.ops.loss import evaluate_packed
+    from cu2rec_tpu.ops.packed import pack
+
+    pm = pack(init_model(toy_csr.n_users, toy_csr.n_items, 8, 3.5, seed=0))
+    full = to_device(toy_csr)
+    lite = to_device(toy_csr, pair_pack=False)
+    assert lite.pair_pack is None
+    assert lite.eval_span == full.eval_span
+    r_f, m_f = evaluate_packed(pm, full)
+    r_l, m_l = evaluate_packed(pm, lite)
+    assert float(r_f) == float(r_l) and float(m_f) == float(m_l)
