@@ -49,3 +49,26 @@ def recall_at_k(recommended: jax.Array, relevant_items: jax.Array,
     n_hit = jnp.sum(jnp.any(hits, axis=1), axis=-1)
     n_rel = jnp.maximum(jnp.sum(relevant_mask, axis=-1), 1)
     return n_hit / n_rel
+
+
+def ndcg_at_k(recommended: jax.Array, relevant_items: jax.Array,
+              relevant_mask: jax.Array) -> jax.Array:
+    """Per-user binary-relevance NDCG@k.
+
+    Position-discounted hit quality: DCG = Σ_j rel_j / log2(j+2) over the
+    recommendation list, normalized by the ideal DCG for that user's
+    held-out count (clipped at k).  Same (B, K)/(B, R) padded layout as
+    :func:`recall_at_k`; shape-static so it jits into the same serving
+    program."""
+    hits = (recommended[:, :, None] == relevant_items[:, None, :])
+    hits = hits & relevant_mask[:, None, :]
+    rel = jnp.any(hits, axis=-1).astype(jnp.float32)          # (B, K)
+    K = recommended.shape[1]
+    disc = 1.0 / jnp.log2(jnp.arange(K, dtype=jnp.float32) + 2.0)
+    dcg = jnp.sum(rel * disc, axis=-1)
+    n_rel = jnp.sum(relevant_mask, axis=-1)                   # (B,)
+    ideal = jnp.sum(
+        jnp.where(jnp.arange(K)[None, :] < n_rel[:, None], disc[None, :],
+                  0.0), axis=-1)
+    # Users with no held-out items score 0 (ideal==0 there).
+    return jnp.where(ideal > 0, dcg / jnp.maximum(ideal, 1e-9), 0.0)

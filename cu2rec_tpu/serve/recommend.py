@@ -73,23 +73,44 @@ def padded_user_lists(csr, user_ids, pad_to: int | None = None):
     return items, mask
 
 
-def recall_at_k_eval(model: MFModel, train_csr, test_csr, k: int = 10,
-                     batch_size: int = 1024, max_users: int | None = None):
-    """Mean recall@k over test users: recommend k unrated-in-train items,
-    count hits against the held-out test items."""
+def ranking_eval(model: MFModel, train_csr, test_csr, k: int = 10,
+                 batch_size: int = 1024, max_users: int | None = None,
+                 metrics: tuple = ("recall", "ndcg")) -> dict:
+    """Mean top-k ranking metrics over test users: recommend k
+    unrated-in-train items, score against the held-out test items.
+
+    Returns ``{metric: mean}`` for the requested ``metrics`` —
+    ``recall`` (hit fraction) and/or ``ndcg`` (position-discounted,
+    binary relevance)."""
+    from cu2rec_tpu.ops.topk import ndcg_at_k
+
+    fns = {"recall": recall_at_k, "ndcg": ndcg_at_k}
+    unknown = set(metrics) - fns.keys()
+    if unknown:
+        raise ValueError(f"unknown ranking metric(s): {sorted(unknown)}")
     test_counts = np.diff(test_csr.indptr)
     users = np.nonzero(test_counts > 0)[0]
     if max_users:
         users = users[:max_users]
     if len(users) == 0:
-        return 0.0
-    total, n = 0.0, 0
+        return {m: 0.0 for m in metrics}
+    totals = {m: 0.0 for m in metrics}
+    n = 0
     for b0 in range(0, len(users), batch_size):
         batch = users[b0:b0 + batch_size]
         rated, rmask = padded_user_lists(train_csr, batch)
         _, rec = recommend_users(model, batch, rated, rmask, k)
         rel, relmask = padded_user_lists(test_csr, batch)
-        r = recall_at_k(rec, jnp.asarray(rel), jnp.asarray(relmask))
-        total += float(jnp.sum(r))
+        rel, relmask = jnp.asarray(rel), jnp.asarray(relmask)
+        for m in metrics:
+            totals[m] += float(jnp.sum(fns[m](rec, rel, relmask)))
         n += len(batch)
-    return total / n
+    return {m: totals[m] / n for m in metrics}
+
+
+def recall_at_k_eval(model: MFModel, train_csr, test_csr, k: int = 10,
+                     batch_size: int = 1024, max_users: int | None = None):
+    """Mean recall@k over test users: recommend k unrated-in-train items,
+    count hits against the held-out test items."""
+    return ranking_eval(model, train_csr, test_csr, k, batch_size,
+                        max_users, metrics=("recall",))["recall"]

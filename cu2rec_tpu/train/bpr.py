@@ -91,16 +91,18 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         done = point
         m = engine.model() if engine is not None else unpack(pm)
         auc = auc_eval(m, train_csr, test_csr, seed=cfg.seed)
-        from cu2rec_tpu.serve.recommend import recall_at_k_eval
-        rec = recall_at_k_eval(m, train_csr, test_csr, k=recall_k,
-                               max_users=recall_users)
+        from cu2rec_tpu.serve.recommend import ranking_eval
+        rk = ranking_eval(m, train_csr, test_csr, k=recall_k,
+                          max_users=recall_users)
+        rec = rk["recall"]
         ups = train_csr.n_users * seg / dt_seg if dt_seg > 0 else None
         logger.log_eval(point, train_mae=0.0, train_rmse=0.0,
                         test_mae=1.0 - auc, test_rmse=1.0 - rec,
                         learning_rate=cfg.learning_rate,
                         updates_per_s=ups)
         print(f"BPR iteration {point}: AUC = {auc:.4f}  "
-              f"recall@{recall_k} = {rec:.4f}")
+              f"recall@{recall_k} = {rec:.4f}  "
+              f"ndcg@{recall_k} = {rk['ndcg']:.4f}")
         losses[point] = 1.0 - rec
         cfg.cur_iterations = point
 

@@ -91,13 +91,15 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
                             solver=solver)
         Y = ials_half_sweep(Y, X, item_chunks, alpha, cfg.Q_reg,
                             solver=solver)
-        from cu2rec_tpu.serve.recommend import recall_at_k_eval
-        rec = recall_at_k_eval(as_model(X, Y), train_csr, test_csr,
-                               k=recall_k, max_users=recall_users)
+        from cu2rec_tpu.serve.recommend import ranking_eval
+        m = ranking_eval(as_model(X, Y), train_csr, test_csr,
+                         k=recall_k, max_users=recall_users)
+        rec = m["recall"]
         logger.log_eval(sweep, train_mae=0.0, train_rmse=0.0,
                         test_mae=0.0, test_rmse=1.0 - rec,
                         learning_rate=0.0)
-        print(f"IALS sweep {sweep}: recall@{recall_k} = {rec:.4f}")
+        print(f"IALS sweep {sweep}: recall@{recall_k} = {rec:.4f} "
+              f"ndcg@{recall_k} = {m['ndcg']:.4f}")
         losses[sweep] = 1.0 - rec
         cfg.cur_iterations += 1
 

@@ -245,3 +245,50 @@ def test_serving_engine_recommend_1d_rated(trained):
                                np.array([True, True]), k=3)
     assert vals.shape == (2, 3) and recs.shape == (2, 3)
     assert 3 not in np.asarray(recs[0]) and 1 not in np.asarray(recs[1])
+
+
+def test_ndcg_at_k_known_values():
+    """Hand-computed binary NDCG@3: position discounts 1/log2(j+2)."""
+    import math
+
+    from cu2rec_tpu.ops.topk import ndcg_at_k
+
+    rec = jnp.asarray([[0, 1, 2], [3, 4, 5], [7, 8, 9]])
+    rel = jnp.asarray([[1, 9, 0], [3, 4, 0], [1, 0, 0]])
+    relmask = jnp.asarray([[True, True, False],
+                           [True, True, False],
+                           [True, False, False]])
+    n = np.asarray(ndcg_at_k(rec, rel, relmask))
+    d = [1.0 / math.log2(j + 2) for j in range(3)]
+    # user 0: hit at rank 2 of 2 relevant -> DCG d[1], IDCG d[0]+d[1]
+    assert abs(n[0] - d[1] / (d[0] + d[1])) < 1e-6
+    # user 1: hits at ranks 1,2 of 2 relevant -> perfect
+    assert abs(n[1] - 1.0) < 1e-6
+    # user 2: no hits
+    assert n[2] == 0.0
+
+
+def test_ndcg_rewards_earlier_hits():
+    from cu2rec_tpu.ops.topk import ndcg_at_k, recall_at_k
+
+    rel = jnp.asarray([[5, 0, 0]])
+    relmask = jnp.asarray([[True, False, False]])
+    early = np.asarray(ndcg_at_k(jnp.asarray([[5, 1, 2]]), rel, relmask))
+    late = np.asarray(ndcg_at_k(jnp.asarray([[1, 2, 5]]), rel, relmask))
+    assert early[0] == 1.0 and 0.0 < late[0] < early[0]
+    # recall can't tell them apart — that's what ndcg adds
+    r_early = np.asarray(recall_at_k(jnp.asarray([[5, 1, 2]]), rel, relmask))
+    r_late = np.asarray(recall_at_k(jnp.asarray([[1, 2, 5]]), rel, relmask))
+    assert r_early[0] == r_late[0] == 1.0
+
+
+def test_ranking_eval_returns_both_metrics(trained):
+    from cu2rec_tpu.serve.recommend import ranking_eval
+
+    model, _, toy_csr = trained
+    out = ranking_eval(model, toy_csr, toy_csr, k=3)
+    assert set(out) == {"recall", "ndcg"}
+    assert 0.0 <= out["ndcg"] <= 1.0
+    assert out["recall"] == recall_at_k_eval(model, toy_csr, toy_csr, k=3)
+    with pytest.raises(ValueError, match="unknown ranking metric"):
+        ranking_eval(model, toy_csr, toy_csr, k=3, metrics=("map",))
