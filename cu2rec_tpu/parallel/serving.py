@@ -77,22 +77,27 @@ def distributed_topk(mesh: Mesh, p_rows, ub_rows, Q, item_bias, global_bias,
                       jnp.asarray(rated_items), jnp.asarray(rated_mask))
 
 
-def sharded_recall_at_k(mesh: Mesh, model, train_csr, test_csr,
-                        k: int = 10, batch_size: int = 1024,
-                        max_users: int | None = None) -> float:
-    """Mean recall@k over test users, scored through the item-sharded
-    serving path (the distributed analogue of
-    serve.recommend.recall_at_k_eval).
+def sharded_ranking_eval(mesh: Mesh, model, train_csr, test_csr,
+                         k: int = 10, batch_size: int = 1024,
+                         max_users: int | None = None,
+                         metrics: tuple = ("recall", "ndcg")) -> dict:
+    """Mean top-k ranking metrics over test users, scored through the
+    item-sharded serving path (the distributed analogue of
+    serve.recommend.ranking_eval).
 
     ``model`` is an (unpadded) MFModel; Q/item_bias are padded to the ip
     size here and every batch runs ``distributed_topk``.
     """
     import numpy as np
 
-    from cu2rec_tpu.ops.topk import recall_at_k
+    from cu2rec_tpu.ops.topk import ndcg_at_k, recall_at_k
     from cu2rec_tpu.parallel.sharded import pad_model
     from cu2rec_tpu.serve.recommend import padded_user_lists
 
+    fns = {"recall": recall_at_k, "ndcg": ndcg_at_k}
+    unknown = set(metrics) - fns.keys()
+    if unknown:
+        raise ValueError(f"unknown ranking metric(s): {sorted(unknown)}")
     n_ip = mesh.shape[mesh.axis_names[-1]]
     I_pad = -(-model.n_items // n_ip) * n_ip
     padded = pad_model(model, model.n_users, I_pad)
@@ -102,8 +107,9 @@ def sharded_recall_at_k(mesh: Mesh, model, train_csr, test_csr,
     if max_users:
         users = users[:max_users]
     if len(users) == 0:
-        return 0.0
-    total, n = 0.0, 0
+        return {m: 0.0 for m in metrics}
+    totals = {m: 0.0 for m in metrics}
+    n = 0
     for b0 in range(0, len(users), batch_size):
         batch = users[b0:b0 + batch_size]
         rated, rmask = padded_user_lists(train_csr, batch)
@@ -113,7 +119,18 @@ def sharded_recall_at_k(mesh: Mesh, model, train_csr, test_csr,
             padded.item_bias, float(model.global_bias), rated, rmask,
             k=k, n_items=model.n_items)
         rel, relmask = padded_user_lists(test_csr, batch)
-        r = recall_at_k(rec, jnp.asarray(rel), jnp.asarray(relmask))
-        total += float(jnp.sum(r))
+        rel, relmask = jnp.asarray(rel), jnp.asarray(relmask)
+        for m in metrics:
+            totals[m] += float(jnp.sum(fns[m](rec, rel, relmask)))
         n += len(batch)
-    return total / n
+    return {m: totals[m] / n for m in metrics}
+
+
+def sharded_recall_at_k(mesh: Mesh, model, train_csr, test_csr,
+                        k: int = 10, batch_size: int = 1024,
+                        max_users: int | None = None) -> float:
+    """Mean recall@k over test users through the item-sharded serving
+    path (see :func:`sharded_ranking_eval`)."""
+    return sharded_ranking_eval(mesh, model, train_csr, test_csr, k,
+                                batch_size, max_users,
+                                metrics=("recall",))["recall"]

@@ -205,8 +205,9 @@ def test_distributed_topk_matches_single(toy_csr):
 
 
 def test_sharded_recall_matches_single(toy_csr, toy_ratings):
-    from cu2rec_tpu.parallel.serving import sharded_recall_at_k
-    from cu2rec_tpu.serve.recommend import recall_at_k_eval
+    from cu2rec_tpu.parallel.serving import (sharded_ranking_eval,
+                                             sharded_recall_at_k)
+    from cu2rec_tpu.serve.recommend import ranking_eval, recall_at_k_eval
     cfg = Config(total_iterations=100, n_factors=4, learning_rate=0.05,
                  check_error=100)
     model, _ = train(toy_csr, toy_csr, cfg, toy_ratings.global_bias,
@@ -215,6 +216,12 @@ def test_sharded_recall_matches_single(toy_csr, toy_ratings):
     r_sharded = sharded_recall_at_k(make_mesh(1, 4), model, toy_csr,
                                     toy_csr, k=2)
     assert abs(r_single - r_sharded) < 1e-6
+    # the joint-metric path must agree with the single-device one too
+    m_single = ranking_eval(model, toy_csr, toy_csr, k=2)
+    m_sharded = sharded_ranking_eval(make_mesh(1, 4), model, toy_csr,
+                                     toy_csr, k=2)
+    for key in ("recall", "ndcg"):
+        assert abs(m_single[key] - m_sharded[key]) < 1e-6
 
 
 def test_sharded_eval_with_smaller_test_split(toy_csr, cfg):
