@@ -79,6 +79,22 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_char_p,
         ]
+        lib.cu2rec_write_matrix.restype = ctypes.c_int
+        lib.cu2rec_write_matrix.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.cu2rec_matrix_open.restype = ctypes.c_void_p
+        lib.cu2rec_matrix_open.argtypes = [ctypes.c_char_p]
+        lib.cu2rec_matrix_rows.restype = ctypes.c_int64
+        lib.cu2rec_matrix_rows.argtypes = [ctypes.c_void_p]
+        lib.cu2rec_matrix_cols.restype = ctypes.c_int64
+        lib.cu2rec_matrix_cols.argtypes = [ctypes.c_void_p]
+        lib.cu2rec_matrix_copy.restype = None
+        lib.cu2rec_matrix_copy.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_float)]
+        lib.cu2rec_matrix_close.restype = None
+        lib.cu2rec_matrix_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -135,6 +151,50 @@ def native_write_ratings(path: str, users: np.ndarray, items: np.ndarray,
         header.encode() if header else b"")
     if rc != 0:
         raise OSError(f"native_write_ratings failed for {path}")
+
+
+def native_write_matrix(path: str, data: np.ndarray, rows: int,
+                        cols: int) -> None:
+    """Parallel component-matrix CSV writer — byte-compatible with the
+    Python writer in data/ratings.py (one row per line, ``%f`` values,
+    reference writeCSV util.cu:86-97).
+
+    Raises if the native library is unavailable (caller falls back).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    data = np.ascontiguousarray(data, dtype=np.float32).reshape(rows, cols)
+    rc = lib.cu2rec_write_matrix(
+        path.encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows, cols)
+    if rc != 0:
+        raise OSError(f"native_write_matrix failed for {path}")
+
+
+def native_read_matrix(path: str) -> tuple[np.ndarray, int, int]:
+    """Parallel component-matrix CSV reader → ``(flat, n_rows, n_cols)``.
+
+    Values are decoded with strtof (correctly rounded, bit-identical to
+    Python ``float()`` for float32).  Raises if the library is
+    unavailable or the file is malformed/ragged (caller falls back to
+    the pure-Python reader and its error behavior).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    handle = lib.cu2rec_matrix_open(path.encode())
+    if not handle:
+        raise RuntimeError(f"native matrix read failed for {path}")
+    try:
+        rows = lib.cu2rec_matrix_rows(handle)
+        cols = lib.cu2rec_matrix_cols(handle)
+        flat = np.empty(rows * cols, dtype=np.float32)
+        lib.cu2rec_matrix_copy(
+            handle, flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    finally:
+        lib.cu2rec_matrix_close(handle)
+    return flat, int(rows), int(cols)
 
 
 def native_csr_build(users: np.ndarray, items: np.ndarray,

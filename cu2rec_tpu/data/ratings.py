@@ -94,7 +94,17 @@ def read_array(path: str) -> tuple[np.ndarray, int, int]:
     util.cu:52-81, except ``n_cols`` is the true per-row column count (the
     reference returned the total value count; its callers only used the
     values transiently so the fix is safe).
+
+    Bulk reads go through the native parallel parser (ingest.cpp) — a
+    Netflix-scale component (480K × 300) takes ~minutes through the
+    per-value Python loop below, which remains as the fallback (and
+    supplies the error behavior for malformed/ragged files).
     """
+    try:
+        from cu2rec_tpu.data.native import native_read_matrix
+        return native_read_matrix(path)
+    except Exception:
+        pass
     rows = []
     n_cols = 0
     with open(path) as f:
@@ -116,7 +126,18 @@ def load_matrix(path: str) -> np.ndarray:
 
 
 def write_csv(path: str, data: np.ndarray, rows: int, cols: int) -> None:
-    """Row-major float dump with 6 decimals (reference util.cu:86-97)."""
+    """Row-major float dump with 6 decimals (reference util.cu:86-97).
+
+    Goes through the native parallel writer (ingest.cpp,
+    byte-compatible output) when available; the Python loop below is
+    the fallback.
+    """
+    try:
+        from cu2rec_tpu.data.native import native_write_matrix
+        native_write_matrix(path, data, rows, cols)
+        return
+    except Exception:
+        pass
     data = np.asarray(data, dtype=np.float32).reshape(rows, cols)
     with open(path, "w") as f:
         for row in data:

@@ -294,6 +294,205 @@ extern "C" {
 
 // users/items 0-based int32 (written 1-based); ratings float32.
 // Returns 0 on success, -1 on I/O failure.
+// ---------------------------------------------------------------------------
+// Component-matrix CSV writer/reader: the export/restore path of the
+// trained model (reference writeCSV util.cu:86-97 / read_array
+// util.cu:52-81).  At Netflix scale a component is ~144M values
+// (480K users x 300 factors); the pure-Python per-value loop in
+// data/ratings.py takes minutes there, so both directions get native
+// fast paths.  Format contract is byte-compatible with the Python
+// writer: one row per line, comma-separated, each value printf("%f")
+// (6 decimals), no trailing separator.
+// ---------------------------------------------------------------------------
+
+// data: row-major float32.  Returns 0 on success, -1 on I/O failure.
+int cu2rec_write_matrix(const char* path, const float* data, int64_t rows,
+                        int64_t cols) {
+    if (rows < 0 || cols <= 0) return -1;
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? hw : 4;
+    if ((size_t)rows < n_threads) n_threads = rows ? (size_t)rows : 1;
+    int64_t per = (rows + (int64_t)n_threads - 1) / (int64_t)n_threads;
+    std::vector<std::string> bufs(n_threads);
+    auto worker = [&](size_t t) {
+        int64_t lo = (int64_t)t * per;
+        int64_t hi = std::min(lo + per, rows);
+        if (lo >= hi) return;
+        std::string& out = bufs[t];
+        out.reserve((size_t)(hi - lo) * (size_t)cols * 10);
+        char val[48];
+        for (int64_t r = lo; r < hi; ++r) {
+            const float* row = data + r * cols;
+            for (int64_t c = 0; c < cols; ++c) {
+                int len = snprintf(val, sizeof val, c ? ",%f" : "%f",
+                                   (double)row[c]);
+                out.append(val, (size_t)len);
+            }
+            out.push_back('\n');
+        }
+    };
+    std::vector<std::thread> workers;
+    for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
+    worker(0);
+    for (auto& w : workers) w.join();
+    int rc = 0;
+    for (auto& b : bufs)
+        if (b.size() && fwrite(b.data(), 1, b.size(), f) != b.size()) rc = -1;
+    if (fclose(f) != 0) rc = -1;
+    return rc;
+}
+
+}  // extern "C"
+
+namespace {
+
+struct MatrixResult {
+    std::vector<std::vector<float>> chunks;   // parsed values, in file order
+    std::vector<int64_t> chunk_rows;
+    int64_t rows = 0;
+    int64_t cols = -1;
+    bool failed = false;
+};
+
+// Parse one newline-aligned byte range of a matrix CSV.  Values are
+// decoded with strtof (correctly rounded, matching Python float()) on a
+// NUL-terminated copy of the chunk; blank lines are skipped like the
+// Python reader's `if not line: continue`.  Sets *cols to the column
+// count (must be uniform within the chunk) or -1 on malformed input.
+void parse_matrix_chunk(const char* begin, const char* end,
+                        std::vector<float>* out, int64_t* nrows,
+                        int64_t* cols) {
+    *nrows = 0;
+    *cols = -1;
+    std::string copy(begin, (size_t)(end - begin));
+    copy.push_back('\0');
+    char* p = copy.data();
+    char* cend = p + copy.size() - 1;
+    out->reserve((size_t)(end - begin) / 9 + 8);
+    while (p < cend) {
+        char* nl = (char*)memchr(p, '\n', cend - p);
+        char* line_end = nl ? nl : cend;
+        *line_end = '\0';
+        // Skip blank / whitespace-only lines.
+        char* q = p;
+        while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
+        if (q != line_end) {
+            int64_t n_vals = 0;
+            for (;;) {
+                char* after;
+                float v = strtof(q, &after);
+                if (after == q) { *cols = -1; return; }  // malformed
+                out->push_back(v);
+                ++n_vals;
+                q = after;
+                while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
+                if (q == line_end) break;
+                if (*q != ',') { *cols = -1; return; }
+                ++q;
+            }
+            if (*cols == -1) *cols = n_vals;
+            else if (*cols != n_vals) { *cols = -1; return; }  // ragged
+            ++*nrows;
+        }
+        p = line_end + 1;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Two-call session API mirroring cu2rec_ingest_*: open parses the whole
+// file in parallel and validates rectangularity; rows/cols report the
+// shape; copy fills a caller-allocated row-major float32 buffer.
+// Returns nullptr on I/O error or malformed/ragged input (the Python
+// caller falls back to the pure-Python reader and its error behavior).
+void* cu2rec_matrix_open(const char* path) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return nullptr;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size == 0) { close(fd); return nullptr; }
+    size_t size = (size_t)st.st_size;
+    const char* base =
+        (const char*)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (base == MAP_FAILED) return nullptr;
+
+    const char* p = base;
+    const char* end = base + size;
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? hw : 4;
+    if (size < (64u << 10)) n_threads = 1;
+
+    MatrixResult* res = new MatrixResult();
+    res->chunks.resize(n_threads);
+    res->chunk_rows.resize(n_threads);
+    std::vector<const char*> bounds(n_threads + 1);
+    const char* cur = p;
+    for (size_t t = 0; t < n_threads; ++t) {
+        bounds[t] = cur;
+        const char* cend;
+        if (t + 1 == n_threads) {
+            cend = end;
+        } else {
+            cend = p + size * (t + 1) / n_threads;
+            if (cend < cur) cend = cur;
+            const char* nl = cend < end
+                ? (const char*)memchr(cend, '\n', end - cend) : nullptr;
+            cend = nl ? nl + 1 : end;
+        }
+        cur = cend;
+    }
+    bounds[n_threads] = end;
+
+    std::vector<int64_t> chunk_cols(n_threads);
+    auto worker = [&](size_t t) {
+        parse_matrix_chunk(bounds[t], bounds[t + 1], &res->chunks[t],
+                           &res->chunk_rows[t], &chunk_cols[t]);
+    };
+    std::vector<std::thread> workers;
+    for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
+    worker(0);
+    for (auto& w : workers) w.join();
+    munmap((void*)base, size);
+
+    for (size_t t = 0; t < n_threads; ++t) {
+        if (res->chunk_rows[t] == 0) continue;
+        if (chunk_cols[t] < 0 ||
+            (res->cols >= 0 && chunk_cols[t] != res->cols)) {
+            delete res;
+            return nullptr;
+        }
+        if (res->cols < 0) res->cols = chunk_cols[t];
+        res->rows += res->chunk_rows[t];
+    }
+    if (res->rows == 0) { delete res; return nullptr; }
+    return res;
+}
+
+int64_t cu2rec_matrix_rows(void* handle) {
+    return handle ? ((MatrixResult*)handle)->rows : -1;
+}
+
+int64_t cu2rec_matrix_cols(void* handle) {
+    return handle ? ((MatrixResult*)handle)->cols : -1;
+}
+
+void cu2rec_matrix_copy(void* handle, float* out) {
+    MatrixResult* res = (MatrixResult*)handle;
+    int64_t off = 0;
+    for (auto& c : res->chunks) {
+        if (!c.empty()) memcpy(out + off, c.data(), c.size() * sizeof(float));
+        off += (int64_t)c.size();
+    }
+}
+
+void cu2rec_matrix_close(void* handle) {
+    delete (MatrixResult*)handle;
+}
+
 int cu2rec_write_ratings(const char* path, const int32_t* users,
                          const int32_t* items, const float* ratings,
                          int64_t n, const char* header) {
