@@ -19,6 +19,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <fcntl.h>
+#include <locale.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -27,6 +28,22 @@
 #include <vector>
 
 namespace {
+
+// The %f writer and strtof reader promise byte-compatibility with the
+// Python csv path, which always formats with '.' decimals.  snprintf and
+// strtof are LC_NUMERIC-sensitive, so every worker thread pins itself to
+// the C numeric locale for its lifetime (snprintf_l is BSD-only; on Linux
+// the per-thread uselocale is the portable equivalent).
+locale_t c_numeric_locale() {
+    static locale_t loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+    return loc;
+}
+
+struct ScopedCLocale {
+    locale_t old;
+    ScopedCLocale() : old(uselocale(c_numeric_locale())) {}
+    ~ScopedCLocale() { uselocale(old); }
+};
 
 struct Chunk {
     const char* begin;
@@ -306,6 +323,12 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 // data: row-major float32.  Returns 0 on success, -1 on I/O failure.
+//
+// Serialization runs in waves of n_threads fixed-size row blocks so the
+// transient buffer footprint is bounded (~1M values of text per thread,
+// not the whole file — a 144M-value Netflix component would otherwise
+// hold ~1.5 GB of serialized text in RAM at once); buffers are reused
+// across waves and written to disk in row order between waves.
 int cu2rec_write_matrix(const char* path, const float* data, int64_t rows,
                         int64_t cols) {
     if (rows < 0 || cols <= 0) return -1;
@@ -314,32 +337,39 @@ int cu2rec_write_matrix(const char* path, const float* data, int64_t rows,
     unsigned hw = std::thread::hardware_concurrency();
     size_t n_threads = hw ? hw : 4;
     if ((size_t)rows < n_threads) n_threads = rows ? (size_t)rows : 1;
-    int64_t per = (rows + (int64_t)n_threads - 1) / (int64_t)n_threads;
+    const int64_t block_rows =
+        std::max<int64_t>(1, (int64_t)(1u << 20) / cols);
     std::vector<std::string> bufs(n_threads);
-    auto worker = [&](size_t t) {
-        int64_t lo = (int64_t)t * per;
-        int64_t hi = std::min(lo + per, rows);
-        if (lo >= hi) return;
-        std::string& out = bufs[t];
-        out.reserve((size_t)(hi - lo) * (size_t)cols * 10);
-        char val[48];
-        for (int64_t r = lo; r < hi; ++r) {
-            const float* row = data + r * cols;
-            for (int64_t c = 0; c < cols; ++c) {
-                int len = snprintf(val, sizeof val, c ? ",%f" : "%f",
-                                   (double)row[c]);
-                out.append(val, (size_t)len);
-            }
-            out.push_back('\n');
-        }
-    };
-    std::vector<std::thread> workers;
-    for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
-    worker(0);
-    for (auto& w : workers) w.join();
     int rc = 0;
-    for (auto& b : bufs)
-        if (b.size() && fwrite(b.data(), 1, b.size(), f) != b.size()) rc = -1;
+    for (int64_t wave = 0; wave < rows && rc == 0;
+         wave += block_rows * (int64_t)n_threads) {
+        auto worker = [&](size_t t) {
+            ScopedCLocale locale_guard;
+            std::string& out = bufs[t];
+            out.clear();
+            int64_t lo = wave + (int64_t)t * block_rows;
+            int64_t hi = std::min(lo + block_rows, rows);
+            if (lo >= hi) return;
+            out.reserve((size_t)(hi - lo) * (size_t)cols * 10);
+            char val[48];
+            for (int64_t r = lo; r < hi; ++r) {
+                const float* row = data + r * cols;
+                for (int64_t c = 0; c < cols; ++c) {
+                    int len = snprintf(val, sizeof val, c ? ",%f" : "%f",
+                                       (double)row[c]);
+                    out.append(val, (size_t)len);
+                }
+                out.push_back('\n');
+            }
+        };
+        std::vector<std::thread> workers;
+        for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
+        worker(0);
+        for (auto& w : workers) w.join();
+        for (auto& b : bufs)
+            if (b.size() && fwrite(b.data(), 1, b.size(), f) != b.size())
+                rc = -1;
+    }
     if (fclose(f) != 0) rc = -1;
     return rc;
 }
@@ -360,12 +390,24 @@ struct MatrixResult {
 // decoded with strtof (correctly rounded, matching Python float()) on a
 // NUL-terminated copy of the chunk; blank lines are skipped like the
 // Python reader's `if not line: continue`.  Sets *cols to the column
-// count (must be uniform within the chunk) or -1 on malformed input.
+// count (must be uniform within the chunk).  On malformed/ragged input
+// sets *failed, zeroes *nrows and clears *out so a partially-parsed bad
+// chunk can never inflate the copy size past rows*cols (a chunk whose
+// FIRST line is malformed ends with nrows==0, so failure must be
+// signalled distinctly from "chunk held only blank lines").
 void parse_matrix_chunk(const char* begin, const char* end,
                         std::vector<float>* out, int64_t* nrows,
-                        int64_t* cols) {
+                        int64_t* cols, bool* failed) {
+    ScopedCLocale locale_guard;
     *nrows = 0;
     *cols = -1;
+    *failed = false;
+    auto fail = [&]() {
+        out->clear();
+        *nrows = 0;
+        *cols = -1;
+        *failed = true;
+    };
     std::string copy(begin, (size_t)(end - begin));
     copy.push_back('\0');
     char* p = copy.data();
@@ -383,17 +425,22 @@ void parse_matrix_chunk(const char* begin, const char* end,
             for (;;) {
                 char* after;
                 float v = strtof(q, &after);
-                if (after == q) { *cols = -1; return; }  // malformed
+                if (after == q) return fail();  // malformed
+                // strtof accepts hex floats ("0x1p3") that Python float()
+                // rejects; keep the documented fallback contract by
+                // treating any consumed 'x' as malformed.
+                for (char* h = q; h < after; ++h)
+                    if (*h == 'x' || *h == 'X') return fail();
                 out->push_back(v);
                 ++n_vals;
                 q = after;
                 while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
                 if (q == line_end) break;
-                if (*q != ',') { *cols = -1; return; }
+                if (*q != ',') return fail();
                 ++q;
             }
             if (*cols == -1) *cols = n_vals;
-            else if (*cols != n_vals) { *cols = -1; return; }  // ragged
+            else if (*cols != n_vals) return fail();  // ragged
             ++*nrows;
         }
         p = line_end + 1;
@@ -448,9 +495,13 @@ void* cu2rec_matrix_open(const char* path) {
     bounds[n_threads] = end;
 
     std::vector<int64_t> chunk_cols(n_threads);
+    // char, not vector<bool>: each worker writes its own element.
+    std::vector<char> chunk_failed(n_threads, 0);
     auto worker = [&](size_t t) {
+        bool failed = false;
         parse_matrix_chunk(bounds[t], bounds[t + 1], &res->chunks[t],
-                           &res->chunk_rows[t], &chunk_cols[t]);
+                           &res->chunk_rows[t], &chunk_cols[t], &failed);
+        chunk_failed[t] = failed ? 1 : 0;
     };
     std::vector<std::thread> workers;
     for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
@@ -459,6 +510,12 @@ void* cu2rec_matrix_open(const char* path) {
     munmap((void*)base, size);
 
     for (size_t t = 0; t < n_threads; ++t) {
+        // A malformed chunk must fail the whole read even when its row
+        // count is 0 (first line bad) — checked before the empty skip.
+        if (chunk_failed[t]) {
+            delete res;
+            return nullptr;
+        }
         if (res->chunk_rows[t] == 0) continue;
         if (chunk_cols[t] < 0 ||
             (res->cols >= 0 && chunk_cols[t] != res->cols)) {
@@ -504,29 +561,38 @@ int cu2rec_write_ratings(const char* path, const int32_t* users,
     }
     unsigned hw = std::thread::hardware_concurrency();
     size_t n_threads = hw ? hw : 4;
-    int64_t per = (n + (int64_t)n_threads - 1) / (int64_t)n_threads;
+    // Wave-blocked like cu2rec_write_matrix: bounds transient text memory
+    // to ~n_threads * 80 MB regardless of row count (100M Netflix rows
+    // would otherwise serialize ~2 GB before the first fwrite).
+    const int64_t block_rows = 4 << 20;
     std::vector<std::string> bufs(n_threads);
-    auto worker = [&](size_t t) {
-        int64_t lo = (int64_t)t * per;
-        int64_t hi = std::min(lo + per, n);
-        if (lo >= hi) return;
-        std::string& out = bufs[t];
-        out.reserve((size_t)(hi - lo) * 20);
-        char line[64];
-        for (int64_t i = lo; i < hi; ++i) {
-            int len = snprintf(line, sizeof line, "%d,%d,%.3f\n",
-                               users[i] + 1, items[i] + 1,
-                               (double)ratings[i]);
-            out.append(line, (size_t)len);
-        }
-    };
-    std::vector<std::thread> workers;
-    for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
-    worker(0);
-    for (auto& w : workers) w.join();
     int rc = 0;
-    for (auto& b : bufs)
-        if (b.size() && fwrite(b.data(), 1, b.size(), f) != b.size()) rc = -1;
+    for (int64_t wave = 0; wave < n && rc == 0;
+         wave += block_rows * (int64_t)n_threads) {
+        auto worker = [&](size_t t) {
+            ScopedCLocale locale_guard;
+            std::string& out = bufs[t];
+            out.clear();
+            int64_t lo = wave + (int64_t)t * block_rows;
+            int64_t hi = std::min(lo + block_rows, n);
+            if (lo >= hi) return;
+            out.reserve((size_t)(hi - lo) * 20);
+            char line[64];
+            for (int64_t i = lo; i < hi; ++i) {
+                int len = snprintf(line, sizeof line, "%d,%d,%.3f\n",
+                                   users[i] + 1, items[i] + 1,
+                                   (double)ratings[i]);
+                out.append(line, (size_t)len);
+            }
+        };
+        std::vector<std::thread> workers;
+        for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
+        worker(0);
+        for (auto& w : workers) w.join();
+        for (auto& b : bufs)
+            if (b.size() && fwrite(b.data(), 1, b.size(), f) != b.size())
+                rc = -1;
+    }
     if (fclose(f) != 0) rc = -1;
     return rc;
 }

@@ -203,3 +203,89 @@ def test_native_matrix_reader_parity(tmp_path):
         native_read_matrix(str(ragged))
     with pytest.raises(ValueError):
         read_array(str(ragged))  # python fallback raises on ragged input
+
+    # strtof accepts hex floats that Python float() rejects; the native
+    # reader must reject them too so both paths agree.
+    hexf = tmp_path / "hex.csv"
+    hexf.write_text("1.0,0x1p3\n2.0,3.0\n")
+    with pytest.raises(Exception):
+        native_read_matrix(str(hexf))
+
+
+@pytest.mark.parametrize("where", ["first", "quarter", "middle", "last"])
+def test_native_matrix_reader_multichunk_malformed(tmp_path, where):
+    """A malformed line anywhere in a multi-chunk (>64KB, multi-threaded)
+    file must fail the whole native read — in particular when the bad line
+    is the first line of a worker's chunk, where a partially-parsed value
+    buffer once slipped past the empty-chunk skip and overflowed the
+    rows*cols copy buffer (advisor finding, ingest.cpp parse failure
+    signalling)."""
+    pytest.importorskip("cu2rec_tpu.data.native")
+    from cu2rec_tpu.data.native import get_lib, native_read_matrix
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    n_rows, n_cols = 3000, 8  # ~9 bytes/value -> ~216 KB, several chunks
+    m = rng.normal(scale=2.0, size=(n_rows, n_cols)).astype(np.float32)
+    lines = [",".join(f"{v:f}" for v in row) for row in m]
+    bad_at = {"first": 0, "quarter": n_rows // 4, "middle": n_rows // 2,
+              "last": n_rows - 1}[where]
+    # Malformed mid-line: valid values before the bad token exercise the
+    # partial-push path that must be discarded on failure.
+    lines[bad_at] = "1.0,2.0,not_a_number,4.0,5.0,6.0,7.0,8.0"
+    path = tmp_path / "big_bad.csv"
+    path.write_text("\n".join(lines) + "\n")
+    assert path.stat().st_size > (64 << 10)
+    with pytest.raises(Exception):
+        native_read_matrix(str(path))
+    with pytest.raises(ValueError):
+        read_array(str(path))  # python fallback also raises
+
+
+def test_native_matrix_reader_chunk_first_line_malformed_everywhere(
+        tmp_path):
+    """Every other line malformed in a >64KB file: whatever the chunk
+    split, some chunk starts with a bad line (the exact shape of the
+    heap-OOB advisor finding).  Must raise, not silently drop rows."""
+    pytest.importorskip("cu2rec_tpu.data.native")
+    from cu2rec_tpu.data.native import get_lib, native_read_matrix
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    lines = []
+    for i in range(6000):
+        if i % 2 == 0:
+            lines.append("1.5,oops,3.0,4.0,5.0,6.0,7.0,8.0")
+        else:
+            lines.append(",".join(f"{float(i + c):f}" for c in range(8)))
+    path = tmp_path / "alternating_bad.csv"
+    path.write_text("\n".join(lines) + "\n")
+    assert path.stat().st_size > (64 << 10)
+    with pytest.raises(Exception):
+        native_read_matrix(str(path))
+
+
+def test_native_matrix_writer_multiwave(tmp_path):
+    """The bounded-memory wave writer must produce output identical to a
+    single-pass serialization when rows span several waves (block_rows =
+    2^20/cols rows per thread per wave)."""
+    pytest.importorskip("cu2rec_tpu.data.native")
+    from cu2rec_tpu.data.native import (get_lib, native_read_matrix,
+                                        native_write_matrix)
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    import os
+    n_cols = 16384              # block_rows = 64
+    n_rows = 64 * (os.cpu_count() or 4) * 2 + 7   # > 2 waves, ragged tail
+    rng = np.random.default_rng(12)
+    m = rng.normal(scale=5.0, size=(n_rows, n_cols)).astype(np.float32)
+    path = tmp_path / "waves.csv"
+    native_write_matrix(str(path), m, n_rows, n_cols)
+    flat, r, c = native_read_matrix(str(path))
+    assert (r, c) == (n_rows, n_cols)
+    # %f has 6 decimals; round-trip through text is exact for the strtof
+    # decode of the printed decimal, compare against Python formatting of
+    # a sample of rows to confirm wave boundaries didn't scramble order.
+    for probe in (0, 63, 64, 65, n_rows // 2, n_rows - 1):
+        expect = np.array([float(f"{v:f}") for v in m[probe]], np.float32)
+        np.testing.assert_array_equal(flat[probe * n_cols:(probe + 1) * n_cols],
+                                      expect)
