@@ -346,35 +346,89 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
         raise ValueError(
             "unknown chunk tag(s): "
             f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
-    if fused and not _FUSED_DISABLED:
+    mu32 = jnp.float32(mu)
+
+    def eager_fn(T, regs_g, heavies_g):
+        for ch in regs_g:
+            T = _als_apply_reg(T, T_other, ch, mu32, reg, F,
+                               weight_by_degree, solver)
+        for ch in heavies_g:
+            T = _als_apply_heavy(T, T_other, ch, mu32, reg, F,
+                                 weight_by_degree, solver)
+        return T
+
+    if not fused:
+        return eager_fn(T_self, regs, heavies)
+
+    def fused_fn(T, regs_g, heavies_g):
+        return _als_half_sweep_fused(
+            T, T_other, regs_g, heavies_g, mu32, reg, n_factors=F,
+            weight_by_degree=weight_by_degree, solver=solver)
+
+    return fused_dispatch(("als", solver, weight_by_degree), T_self,
+                          fused_fn, eager_fn, regs, heavies)
+
+
+# Program signatures whose fused compile/first-execution failed, keyed by
+# (algo tag, tier, chunk shapes) — NOT a process-global boolean: one failed
+# Netflix-scale compile must not strip same-process ML-20M sweeps of their
+# measured 34% fusion win (round-2 verdict item 6).  ALS and iALS share the
+# set (same program-shape hazard, distinct tags).
+_FUSED_DISABLED: set = set()
+
+# Chunks per program in the middle tier: small enough that Netflix-scale
+# programs that OOMed the compiler whole (observed: remote compile helper
+# SIGKILLed at ~14 chunks) compile in pieces, large enough to amortize the
+# ~7 ms tunneled dispatch latency per program.
+_FUSED_GROUP_K = 4
+
+
+def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
+                   group_k: int | None = None):
+    """Three-tier fused chunk dispatch with per-signature sticky disables.
+
+    Tier 1 runs ALL chunks in one jitted program (best: one dispatch, XLA
+    overlaps chunk work).  If that program's compile or first execution
+    fails (compiler OOM at Netflix scale), its signature is disabled and
+    tier 2 re-runs the sweep as groups of ``group_k`` chunks per program —
+    partial fusion that large sweeps survive.  A group that also fails is
+    disabled by its own signature and computed per-chunk (tier 3,
+    ``eager_fn``).  Signatures include chunk shapes/dtypes, so a failure
+    at one scale never affects sweeps at another scale in the same
+    process.
+
+    ``fused_fn(T, regs, heavies)`` / ``eager_fn(T, regs, heavies)`` must
+    compute identical results (parity-tested); both close over the frozen
+    other-side table.
+    """
+    if group_k is None:
+        group_k = _FUSED_GROUP_K
+    full_sig = (tag, _chunks_sig(regs), _chunks_sig(heavies))
+    if full_sig not in _FUSED_DISABLED:
         try:
-            out = _als_half_sweep_fused(
-                T_self, T_other, regs, heavies, jnp.float32(mu), reg,
-                n_factors=F, weight_by_degree=weight_by_degree,
-                solver=solver)
-            _check_fused_runtime(
-                out, ("als", solver, weight_by_degree,
-                      _chunks_sig(regs), _chunks_sig(heavies)))
+            out = fused_fn(T_self, regs, heavies)
+            _check_fused_runtime(out, full_sig)
             return out
         except jax.errors.JaxRuntimeError as e:
-            # At Netflix scale (100M ratings) the ONE-program half-sweep
-            # can OOM the compiler itself (observed: remote compile helper
-            # SIGKILLed); the per-chunk path computes identical results.
-            # Sticky: don't re-pay a failed multi-minute compile per sweep.
-            _disable_fused(e)
-    T_new = T_self
-    for ch in regs:
-        T_new = _als_apply_reg(T_new, T_other, ch, mu, reg, F,
-                               weight_by_degree, solver)
-    for ch in heavies:
-        T_new = _als_apply_heavy(T_new, T_other, ch, mu, reg, F,
-                                 weight_by_degree, solver)
-    return T_new
-
-
-# Process-wide kill switch for fused half-sweeps, set on the first failed
-# fused compile (ALS and iALS share it — same program shape hazard).
-_FUSED_DISABLED = False
+            _disable_fused(full_sig, e, tier="full")
+    groups = [(regs[i:i + group_k], ())
+              for i in range(0, len(regs), group_k)]
+    groups += [((), heavies[i:i + group_k])
+               for i in range(0, len(heavies), group_k)]
+    T = T_self
+    for regs_g, heavies_g in groups:
+        gsig = (tag, "group", _chunks_sig(regs_g), _chunks_sig(heavies_g))
+        if gsig in _FUSED_DISABLED:
+            T = eager_fn(T, regs_g, heavies_g)
+            continue
+        try:
+            out = fused_fn(T, regs_g, heavies_g)
+            _check_fused_runtime(out, gsig)
+            T = out
+        except jax.errors.JaxRuntimeError as e:
+            _disable_fused(gsig, e, tier="group")
+            T = eager_fn(T, regs_g, heavies_g)
+    return T
 
 # Program signatures whose fused executable has completed one real
 # execution (algo tag + solver + per-chunk shapes + output aval — i.e. the
@@ -411,13 +465,14 @@ def _check_fused_runtime(out, sig) -> None:
         _FUSED_VERIFIED.add(key)
 
 
-def _disable_fused(exc: Exception) -> None:
-    global _FUSED_DISABLED
-    _FUSED_DISABLED = True
+def _disable_fused(sig, exc: Exception, tier: str = "full") -> None:
+    _FUSED_DISABLED.add(sig)
     import warnings
+    nxt = ("retrying as group-fused programs" if tier == "full"
+           else "computing this group per-chunk")
     warnings.warn(
-        "fused half-sweep compilation failed; falling back to per-chunk "
-        f"dispatch for the rest of this process: {str(exc)[:200]}")
+        f"{tier}-fused half-sweep failed for one program signature; "
+        f"{nxt} (other signatures unaffected): {str(exc)[:200]}")
 
 
 def _scatter_theta(T_new, theta, rows, F: int):

@@ -88,20 +88,23 @@ def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
         raise ValueError(
             "unknown chunk tag(s): "
             f"{sorted({ch[0] for ch in chunks} - {'reg', 'heavy'})}")
-    if fused and not _als._FUSED_DISABLED:
-        try:
-            out = _ials_half_sweep_fused(
-                T_self, T_other, regs, heavies, jnp.float32(alpha),
-                jnp.float32(reg), solver=solver)
-            _als._check_fused_runtime(
-                out, ("ials", solver, _als._chunks_sig(regs),
-                      _als._chunks_sig(heavies)))
-            return out
-        except jax.errors.JaxRuntimeError as e:
-            _als._disable_fused(e)  # shared sticky kill switch
-    return _ials_sweep_body(T_self, T_other, regs, heavies,
-                            jnp.float32(alpha), jnp.float32(reg), solver,
-                            barrier=False)
+    a32, r32 = jnp.float32(alpha), jnp.float32(reg)
+
+    def eager_fn(T, regs_g, heavies_g):
+        return _ials_sweep_body(T, T_other, regs_g, heavies_g, a32, r32,
+                                solver, barrier=False)
+
+    if not fused:
+        return eager_fn(T_self, regs, heavies)
+
+    def fused_fn(T, regs_g, heavies_g):
+        return _ials_half_sweep_fused(T, T_other, regs_g, heavies_g, a32,
+                                      r32, solver=solver)
+
+    # Shared three-tier dispatch with ALS: full-fused -> group-fused ->
+    # per-chunk, disables sticky per program signature (ops/als).
+    return _als.fused_dispatch(("ials", solver), T_self, fused_fn,
+                               eager_fn, regs, heavies)
 
 
 def _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver,

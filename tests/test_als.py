@@ -298,8 +298,8 @@ def test_fused_half_sweep_matches_unfused(toy_csr):
 
 def test_fused_compile_failure_falls_back(toy_csr, monkeypatch):
     """A failed fused compile (e.g. compiler OOM at 100M-rating scale)
-    must fall back to per-chunk dispatch — same results — and stick so
-    later sweeps don't re-pay the failed compile."""
+    must fall back — same results — and stick PER PROGRAM SIGNATURE so
+    later sweeps of the same shape don't re-pay the failed compile."""
     import jax
     import jax.numpy as jnp
 
@@ -314,11 +314,14 @@ def test_fused_compile_failure_falls_back(toy_csr, monkeypatch):
         pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
         fused=False))
 
+    calls = {"n": 0}
+
     def boom(*a, **k):
+        calls["n"] += 1
         raise jax.errors.JaxRuntimeError("synthetic compile failure")
 
     monkeypatch.setattr(als_mod, "_als_half_sweep_fused", boom)
-    monkeypatch.setattr(als_mod, "_FUSED_DISABLED", False)
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED", set())
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -326,8 +329,82 @@ def test_fused_compile_failure_falls_back(toy_csr, monkeypatch):
             pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
             fused=True))
     np.testing.assert_array_equal(got, want)
-    assert als_mod._FUSED_DISABLED
-    monkeypatch.setattr(als_mod, "_FUSED_DISABLED", False)
+    assert als_mod._FUSED_DISABLED  # full + group signatures recorded
+    first_round_calls = calls["n"]
+    # Second sweep with the same signature: every fused tier is already
+    # disabled, so the failing fused fn must NOT be retried.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        again = np.asarray(als_mod.als_half_sweep(
+            pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
+            fused=True))
+    np.testing.assert_array_equal(again, want)
+    assert calls["n"] == first_round_calls
+
+
+def test_fused_failure_is_per_signature(toy_csr, monkeypatch):
+    """A failed fused compile at ONE program signature (e.g. Netflix-scale
+    chunking) must not strip fusion from sweeps at a DIFFERENT signature
+    in the same process (round-2 verdict item 6: the old process-global
+    boolean cost every subsequent ML-20M sweep its 34% fusion win)."""
+    import jax
+    import jax.numpy as jnp
+
+    import cu2rec_tpu.ops.als as als_mod
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.ops.packed import pack
+
+    pm = pack(init_model(toy_csr.n_users, toy_csr.n_items, 8, 3.5, seed=2))
+    buckets = als_mod.bucket_csr(toy_csr.indptr, toy_csr.indices,
+                                 toy_csr.data)
+    real_fused = als_mod._als_half_sweep_fused
+
+    fused_ok_calls = {"n": 0}
+    state = {"first": True}
+
+    def fail_full_only(T_self, T_other, regs, heavies, *a, **k):
+        # Simulate: the whole-sweep program OOMs the compiler, the
+        # smaller group-tier programs compile fine.  The dispatcher
+        # always tries the full program first, so failing the first
+        # call is exactly "the full fuse failed".
+        if state["first"]:
+            state["first"] = False
+            raise jax.errors.JaxRuntimeError("synthetic full-program OOM")
+        fused_ok_calls["n"] += 1
+        return real_fused(T_self, T_other, regs, heavies, *a, **k)
+
+    monkeypatch.setattr(als_mod, "_als_half_sweep_fused", fail_full_only)
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED", set())
+    monkeypatch.setattr(als_mod, "_FUSED_GROUP_K", 1)
+    want = np.asarray(als_mod.als_half_sweep(
+        pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
+        fused=False))
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = np.asarray(als_mod.als_half_sweep(
+            pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
+            fused=True))
+    np.testing.assert_array_equal(got, want)
+    # Middle tier engaged: group-fused programs ran instead of per-chunk.
+    assert fused_ok_calls["n"] >= 1
+    # Only the FULL signature was disabled; the group signatures and any
+    # other scale's signature stay fused.
+    assert len(als_mod._FUSED_DISABLED) == 1
+    (sig,) = als_mod._FUSED_DISABLED
+    assert sig[0] == ("als", "auto", True)
+
+    # A different signature (different solver -> different program) still
+    # tries the full fuse first and succeeds.
+    monkeypatch.setattr(als_mod, "_als_half_sweep_fused", real_fused)
+    out_other = np.asarray(als_mod.als_half_sweep(
+        pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
+        fused=True, solver="blocked"))
+    assert len(als_mod._FUSED_DISABLED) == 1  # nothing new disabled
+    want_other = np.asarray(als_mod.als_half_sweep(
+        pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
+        fused=False, solver="blocked"))
+    np.testing.assert_array_equal(out_other, want_other)
 
 
 def test_unknown_chunk_tag_raises(toy_csr):
