@@ -33,19 +33,26 @@ _WINDOW_TABLE_MIN = 12 << 20
 _WINDOW_MAX_BYTES = 16 << 20
 
 
-def _window_span(dev: DeviceRatings, n_rows: int, row_bytes: int) -> int:
+def choose_window_span(attested_span: int, n_rows: int,
+                       row_bytes: int) -> int:
     """The static window span to use, or 0 for the plain gather path.
 
-    Eligibility: row_ids non-decreasing (guaranteed by the CSR expansion;
-    ``eval_span`` > 0 is the builder's attestation), the table big enough
-    that the large-table gather rate applies, and the window small enough
-    to stay in the fast regime.
-    """
-    s = dev.eval_span
-    if (0 < s < n_rows and n_rows * row_bytes > _WINDOW_TABLE_MIN
-            and s * row_bytes <= _WINDOW_MAX_BYTES):
-        return s
+    Eligibility: row_ids non-decreasing (``attested_span`` > 0 is the
+    builder's attestation of the max row-range any eval chunk covers),
+    the gathered-from table big enough that the large-table gather rate
+    applies, and the window small enough to stay in the fast regime.
+    Shared by the single-chip eval (against the full user table) and the
+    dp-sharded eval (against each shard's LOCAL user table — see
+    cu2rec_tpu.parallel.sharded)."""
+    if (0 < attested_span < n_rows
+            and n_rows * row_bytes > _WINDOW_TABLE_MIN
+            and attested_span * row_bytes <= _WINDOW_MAX_BYTES):
+        return attested_span
     return 0
+
+
+def _window_span(dev: DeviceRatings, n_rows: int, row_bytes: int) -> int:
+    return choose_window_span(dev.eval_span, n_rows, row_bytes)
 
 
 def _window_rows(table, rows, span: int):

@@ -95,6 +95,13 @@ class ShardedRatings:
     total_nnz: int
     n_users_padded: int
     n_items_padded: int
+    # Max LOCAL row-range width any EVAL_WINDOW_CHUNK-rating slice of any
+    # shard's row_ids spans (0 = unknown) — the dp-sharded counterpart of
+    # DeviceRatings.eval_span, taken as the max over shards so one static
+    # span serves the single shard_map program.  Lets sharded eval
+    # dynamic-slice a VMEM-sized window of the local user table per chunk
+    # (see ops/loss.choose_window_span / _window_rows).
+    eval_span: int = 0
 
 
 import jax.tree_util as _jtu
@@ -102,7 +109,8 @@ import jax.tree_util as _jtu
 _jtu.register_dataclass(
     ShardedRatings,
     data_fields=["indptr", "indices", "data", "row_ids", "nnz"],
-    meta_fields=["total_nnz", "n_users_padded", "n_items_padded"],
+    meta_fields=["total_nnz", "n_users_padded", "n_items_padded",
+                 "eval_span"],
 )
 
 
@@ -133,6 +141,9 @@ def shard_ratings(csr: CSRRatings, n_dp: int, n_ip: int = 1,
     indices = np.stack([np.pad(x[1], (0, NNZ - len(x[1]))) for x in locals_])
     data = np.stack([np.pad(x[2], (0, NNZ - len(x[2]))) for x in locals_])
     row_ids = np.stack([np.pad(x[3], (0, NNZ - len(x[3]))) for x in locals_])
+    from cu2rec_tpu.data.csr import eval_window_span
+    eval_span = max((eval_window_span(x[3], len(x[3])) for x in locals_),
+                    default=0)
 
     def put(x, spec):
         if mesh is None:
@@ -148,6 +159,7 @@ def shard_ratings(csr: CSRRatings, n_dp: int, n_ip: int = 1,
         total_nnz=csr.nnz,
         n_users_padded=U_pad,
         n_items_padded=I_pad,
+        eval_span=eval_span,
     )
 
 
@@ -335,9 +347,22 @@ def _local_step_packed(T_u_l, T_i_l, mu, indptr_l, indices_l, data_l,
 
 
 def _eval_local_packed(T_u_l, T_i_full, mu, n_factors: int, row_ids_l,
-                       indices_l, data_l, nnz_l, chunk_size: int):
+                       indices_l, data_l, nnz_l, chunk_size: int,
+                       span: int = 0):
     """Local partial error sums over this dp shard's ratings (item table
-    pre-assembled to full via all_gather)."""
+    pre-assembled to full via all_gather).
+
+    ``span`` > 0 engages the windowed user-row path: each scan chunk's
+    local row ids lie in a ``span``-wide ascending window (attested by
+    ShardedRatings.eval_span), so the chunk dynamic-slices that window of
+    the LOCAL user table once and gathers from it at the VMEM small-table
+    rate — the same 3× win the single-chip eval ships (ops/loss.py),
+    previously missing from the dp-sharded path (round-2 verdict item 4).
+    """
+    from cu2rec_tpu.data.csr import EVAL_WINDOW_CHUNK
+    from cu2rec_tpu.ops.loss import _window_rows
+    if span:
+        chunk_size = EVAL_WINDOW_CHUNK
     n = indices_l.shape[0]
     mask = jnp.arange(n, dtype=jnp.int32) < nnz_l
     W = T_u_l.shape[1]
@@ -360,7 +385,10 @@ def _eval_local_packed(T_u_l, T_i_full, mu, n_factors: int, row_ids_l,
     def body(carry, chunk):
         sse, sae = carry
         r, c, v, m = chunk
-        ru = T_u_l[r].astype(jnp.float32)
+        if span:
+            ru = _window_rows(T_u_l, r, span).astype(jnp.float32)
+        else:
+            ru = T_u_l[r].astype(jnp.float32)
         ri = T_i_full[c].astype(jnp.float32)
         pred = mu + jnp.sum(ru * (ri * factor + biascol), axis=-1) + ri[:, F]
         err = jnp.where(m, v - pred, 0.0)
@@ -478,23 +506,23 @@ class ShardedEngine:
 
         self._run_jit = run
 
-        def eval_body(model_t, ratings_t, total_nnz):
+        def eval_body(model_t, ratings_t, total_nnz, span):
             T_u_l, T_i_l, mu = model_t
             _indptr, indices, data, row_ids, nnz = (x[0] for x in ratings_t)
             # Assemble the full item table once per eval (all_gather, ip).
             T_i_full = jax.lax.all_gather(T_i_l, "ip", axis=0, tiled=True)
             sse, sae = _eval_local_packed(T_u_l, T_i_full, mu, n_factors,
                                           row_ids, indices, data, nnz,
-                                          eval_chunk)
+                                          eval_chunk, span)
             sse = jax.lax.psum(sse, "dp")
             sae = jax.lax.psum(sae, "dp")
             denom = total_nnz.astype(jnp.float32)
             return jnp.sqrt(sse / denom), sae / denom
 
-        @jax.jit
-        def evaluate(model_t, ratings_t, total_nnz):
+        @partial(jax.jit, static_argnames=("span",))
+        def evaluate(model_t, ratings_t, total_nnz, span=0):
             f = shard_map(
-                eval_body, mesh=mesh,
+                partial(eval_body, span=span), mesh=mesh,
                 in_specs=(model_specs, ratings_specs, P()),
                 out_specs=(P(), P()))
             return f(model_t, ratings_t, total_nnz)
@@ -548,8 +576,12 @@ class ShardedEngine:
         if isinstance(state, MFModel):
             state = self.prepare(state)
         sh = self.train_sh if split == "train" else self.test_sh
+        from cu2rec_tpu.ops.loss import choose_window_span
+        U_loc = self.U_pad // self.n_dp
+        span = choose_window_span(sh.eval_span, U_loc,
+                                  int(state[0].shape[1]) * 4)
         rmse, mae = self._evaluate_jit(state, self._ratings_tuple(sh),
-                                       jnp.int32(sh.total_nnz))
+                                       jnp.int32(sh.total_nnz), span)
         return float(rmse), float(mae)
 
     def finalize(self, state) -> MFModel:

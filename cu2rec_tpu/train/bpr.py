@@ -99,7 +99,9 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         logger.log_eval(point, train_mae=0.0, train_rmse=0.0,
                         test_mae=1.0 - auc, test_rmse=1.0 - rec,
                         learning_rate=cfg.learning_rate,
-                        updates_per_s=ups)
+                        updates_per_s=ups,
+                        extras={"auc": auc, "recall_at_k": rec,
+                                "ndcg_at_k": rk["ndcg"], "k": recall_k})
         print(f"BPR iteration {point}: AUC = {auc:.4f}  "
               f"recall@{recall_k} = {rec:.4f}  "
               f"ndcg@{recall_k} = {rk['ndcg']:.4f}")

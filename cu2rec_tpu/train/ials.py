@@ -91,14 +91,24 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
                             solver=solver)
         Y = ials_half_sweep(Y, X, item_chunks, alpha, cfg.Q_reg,
                             solver=solver)
+        from cu2rec_tpu.ops.bpr import auc_eval
         from cu2rec_tpu.serve.recommend import ranking_eval
-        m = ranking_eval(as_model(X, Y), train_csr, test_csr,
+        mdl = as_model(X, Y)
+        m = ranking_eval(mdl, train_csr, test_csr,
                          k=recall_k, max_users=recall_users)
         rec = m["recall"]
+        # Sampled pairwise AUC against the same oracle ceiling BPR reports
+        # (meta oracle_auc of the planted generator) — packed into
+        # test_mae as 1-AUC like train/bpr.py so the loss stream shape is
+        # uniform across implicit trainers.
+        auc = auc_eval(mdl, train_csr, test_csr, seed=cfg.seed)
         logger.log_eval(sweep, train_mae=0.0, train_rmse=0.0,
-                        test_mae=0.0, test_rmse=1.0 - rec,
-                        learning_rate=0.0)
-        print(f"IALS sweep {sweep}: recall@{recall_k} = {rec:.4f} "
+                        test_mae=1.0 - auc, test_rmse=1.0 - rec,
+                        learning_rate=0.0,
+                        extras={"auc": auc, "recall_at_k": rec,
+                                "ndcg_at_k": m["ndcg"], "k": recall_k})
+        print(f"IALS sweep {sweep}: AUC = {auc:.4f}  "
+              f"recall@{recall_k} = {rec:.4f} "
               f"ndcg@{recall_k} = {m['ndcg']:.4f}")
         losses[sweep] = 1.0 - rec
         cfg.cur_iterations += 1

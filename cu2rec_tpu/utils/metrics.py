@@ -33,7 +33,10 @@ class MetricsLogger:
     def log_eval(self, iteration: int, *, train_mae: float, train_rmse: float,
                  test_mae: float, test_rmse: float,
                  learning_rate: float, updates_per_s: float | None = None,
-                 ) -> None:
+                 extras: dict | None = None) -> None:
+        """``extras`` merges additional metric columns into the JSONL
+        record (e.g. the implicit trainers' auc/recall_at_k/ndcg_at_k);
+        the reference-format stdout lines are unchanged."""
         if self.verbose:
             # Same line shape as reference training.cu:135-137.
             print(f"TRAIN: Iteration {iteration} {self.label} "
@@ -41,11 +44,14 @@ class MetricsLogger:
             print(f"TEST: Iteration {iteration} {self.label} "
                   f"MAE: {test_mae:f} RMSE: {test_rmse:f}")
             sys.stdout.flush()
-        self._emit({"event": "eval", "iteration": iteration,
-                    "train_mae": train_mae, "train_rmse": train_rmse,
-                    "test_mae": test_mae, "test_rmse": test_rmse,
-                    "learning_rate": learning_rate,
-                    "updates_per_s": updates_per_s})
+        rec = {"event": "eval", "iteration": iteration,
+               "train_mae": train_mae, "train_rmse": train_rmse,
+               "test_mae": test_mae, "test_rmse": test_rmse,
+               "learning_rate": learning_rate,
+               "updates_per_s": updates_per_s}
+        if extras:
+            rec.update(extras)
+        self._emit(rec)
 
     def log_lr_decay(self, new_lr: float) -> None:
         if self.verbose:

@@ -137,12 +137,13 @@ def main() -> int:
                    gen_s=round(t_gen, 1), split_s=round(t_split, 1),
                    train_wall_s=round(t_train, 1))
     if args.algo in ("bpr", "ials") and last:
-        # Implicit trainers pack ranking metrics into the mae/rmse columns
-        # (train/bpr.py: test_mae = 1-AUC, test_rmse = 1-recall@k;
-        #  train/ials.py: test_rmse = 1-recall@k).
-        if args.algo == "bpr":
-            summary["final_auc"] = 1.0 - last["test_mae"]
-        summary["final_recall_at_k"] = 1.0 - last["test_rmse"]
+        # Implicit trainers emit auc/recall_at_k/ndcg_at_k columns (and
+        # pack 1-AUC / 1-recall@k into the mae/rmse stream for the loss
+        # plumbing; train/bpr.py, train/ials.py).
+        summary["final_auc"] = last.get("auc", 1.0 - last["test_mae"])
+        summary["final_recall_at_k"] = last.get("recall_at_k",
+                                                1.0 - last["test_rmse"])
+        summary["final_ndcg_at_k"] = last.get("ndcg_at_k")
         summary["oracle_auc"] = meta.get("oracle_auc")
     with open(jsonl, "a") as f:
         f.write(json.dumps(summary) + "\n")

@@ -112,6 +112,50 @@ def test_sharded_eval_matches_single(toy_csr, cfg):
     np.testing.assert_allclose(mae_s, mae1, rtol=1e-5)
 
 
+@pytest.mark.parametrize("n_dp,n_ip", [(2, 1), (4, 2)])
+def test_sharded_windowed_eval_matches_plain(cfg, monkeypatch, n_dp, n_ip):
+    """The windowed user-band eval (3× at ML-20M on a single chip) must
+    compute the SAME RMSE/MAE on the dp-sharded path: window the LOCAL
+    user table per scan chunk, parity vs the plain sharded gather and the
+    single-device eval (round-2 verdict item 4)."""
+    if not have_devices(n_dp * n_ip):
+        pytest.skip("not enough devices")
+    import cu2rec_tpu.ops.loss as loss_mod
+    from cu2rec_tpu.data.csr import csr_from_arrays
+
+    rng = np.random.default_rng(21)
+    # Ratings confined to a user band much narrower than a local shard
+    # (U_loc = 4096/n_dp), so the attested per-shard span is a real
+    # window, not the whole local table.
+    U, I, N = 4096, 97, 40000
+    users = rng.integers(1000, 1800, N).astype(np.int32)
+    items = rng.integers(0, I, N).astype(np.int32)
+    vals = rng.uniform(1.0, 5.0, N).astype(np.float32)
+    csr = csr_from_arrays(users, items, vals, U, I, use_native=False)
+    model = init_model(U, I, cfg.n_factors, 3.0, seed=9)
+
+    engine = ShardedEngine(csr, csr, cfg, mesh=make_mesh(n_dp, n_ip))
+    assert engine.train_sh.eval_span > 0  # builder attested the window
+    rmse_plain, mae_plain = engine.evaluate(model, "train")
+
+    # Force the window regime at toy scale (thresholds are tuned for
+    # multi-MB tables) and confirm the windowed program really engages.
+    monkeypatch.setattr(loss_mod, "_WINDOW_TABLE_MIN", 0)
+    from cu2rec_tpu.ops.loss import choose_window_span
+    U_loc = engine.U_pad // n_dp
+    span = choose_window_span(engine.train_sh.eval_span, U_loc,
+                              (cfg.n_factors + 2) * 4)
+    assert 0 < span < U_loc
+    rmse_win, mae_win = engine.evaluate(model, "train")
+
+    dev = to_device(csr)
+    rmse1, mae1 = eval_single(model, dev)
+    np.testing.assert_allclose(rmse_win, rmse_plain, rtol=1e-6)
+    np.testing.assert_allclose(mae_win, mae_plain, rtol=1e-6)
+    np.testing.assert_allclose(rmse_win, rmse1, rtol=1e-5)
+    np.testing.assert_allclose(mae_win, mae1, rtol=1e-5)
+
+
 def test_sharded_end_to_end_train(toy_csr, toy_ratings, cfg):
     """Full train loop through the sharded engine converges."""
     engine = ShardedEngine(toy_csr, toy_csr, cfg, mesh=make_mesh(2, 2))
