@@ -150,6 +150,15 @@ class DeviceRatings:
     n_items: int
     it_indptr: object = None     # jnp (n_items+1,) int32, or None
     it_pair_pack: object = None  # jnp (nnz_padded/64, 128) int32, or None
+    # Mirror-free twin alternative (``lean=True``): the item-major→flat
+    # permutation (nnz_padded,) int32.  The twin step then fetches its
+    # sampled (user, rating) through the ALREADY-RESIDENT row_ids/data
+    # arrays (user = row_ids[it_order[pos]]), costing 4 bytes/rating of
+    # HBM instead of it_pair_pack's 8 — and lean mode also drops the
+    # user-side pair_pack (8 B/rating), sampling via indices/data
+    # gathers.  Net: twin at Netflix scale drops from 28 to 16
+    # bytes/rating, the headroom that lets F=300 fit (see ops/packed.py).
+    it_order: object = None      # jnp (nnz_padded,) int32, or None
     # Max user-range width any EVAL_WINDOW_CHUNK-rating slice of row_ids
     # spans (0 = unknown).  Static metadata that lets eval dynamic-slice a
     # VMEM-sized window of the user table per chunk and gather locally at
@@ -158,14 +167,23 @@ class DeviceRatings:
     eval_span: int = 0
 
 
-def transpose_csr(csr: CSRRatings):
-    """Item-major view of the ratings: (it_indptr over items, user row_ids
-    sorted by (item, user), ratings in the same order)."""
+def transpose_order(csr: CSRRatings):
+    """(it_indptr over items, item-major→flat permutation): the
+    structural half of :func:`transpose_csr`, without materializing the
+    permuted user/rating arrays (the lean twin path gathers through the
+    permutation at step time instead)."""
     order = np.lexsort((csr.row_ids, csr.indices))
     items_sorted = csr.indices[order]
     counts = np.bincount(items_sorted, minlength=csr.n_items)
     it_indptr = np.zeros(csr.n_items + 1, dtype=np.int64)
     np.cumsum(counts, out=it_indptr[1:])
+    return it_indptr, order
+
+
+def transpose_csr(csr: CSRRatings):
+    """Item-major view of the ratings: (it_indptr over items, user row_ids
+    sorted by (item, user), ratings in the same order)."""
+    it_indptr, order = transpose_order(csr)
     return it_indptr, csr.row_ids[order].astype(np.int32), csr.data[order]
 
 
@@ -179,7 +197,8 @@ def _interleave_pairs(ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
 
 def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
               item_major: bool = False,
-              pair_pack: bool = True) -> DeviceRatings:
+              pair_pack: bool = True,
+              lean: bool = False) -> DeviceRatings:
     """Upload a host CSR to the device (the H→D boundary of matrix.cu:28-40).
 
     Padding rows carry user=0/item=0/rating=0 and are masked out by eval via
@@ -195,6 +214,14 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
     evaluate or bucket-solve (ALS/iALS) and never sample — at 100M
     ratings over this environment's ~18 MB/s tunnel that mirror alone
     costs ~45 s of dead upload.
+
+    ``lean=True`` is the HBM-constrained sampling layout: both
+    interleaved mirrors are dropped (the step samples through
+    indices/data/row_ids gathers; with ``item_major`` the item side goes
+    through the ``it_order`` permutation).  16 bytes/rating instead of
+    28 under twin — the layout that fits F=300 at Netflix scale — at the
+    cost of 1-2 extra lane-aligned gathers per side per step.  Sampled
+    streams are IDENTICAL to the mirrored layout (parity-tested).
     """
     import jax
     import jax.numpy as jnp
@@ -212,24 +239,30 @@ def to_device(csr: CSRRatings, pad_multiple: int = 128, sharding=None,
     row_ids = np.pad(row_ids_host, (0, pad))
     put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
         else jnp.asarray
-    it_indptr = it_pair = None
+    it_indptr = it_pair = it_order = None
     if item_major:
-        ip_host, it_users, it_vals = transpose_csr(csr)
-        it_indptr = jnp.asarray(ip_host.astype(np.int32))
-        it_pair = put(_interleave_pairs(np.pad(it_users, (0, pad)),
-                                        np.pad(it_vals, (0, pad))))
+        if lean:
+            ip_host, order = transpose_order(csr)
+            it_indptr = jnp.asarray(ip_host.astype(np.int32))
+            it_order = put(np.pad(order.astype(np.int32), (0, pad)))
+        else:
+            ip_host, it_users, it_vals = transpose_csr(csr)
+            it_indptr = jnp.asarray(ip_host.astype(np.int32))
+            it_pair = put(_interleave_pairs(np.pad(it_users, (0, pad)),
+                                            np.pad(it_vals, (0, pad))))
     return DeviceRatings(
         indptr=jnp.asarray(csr.indptr),
         indices=put(indices),
         data=put(data),
         row_ids=put(row_ids),
-        pair_pack=put(_interleave_pairs(indices, data)) if pair_pack
-        else None,
+        pair_pack=put(_interleave_pairs(indices, data))
+        if pair_pack and not lean else None,
         nnz=nnz,
         n_users=csr.n_users,
         n_items=csr.n_items,
         it_indptr=it_indptr,
         it_pair_pack=it_pair,
+        it_order=it_order,
         eval_span=eval_window_span(row_ids_host, nnz),
     )
 
@@ -239,7 +272,7 @@ import jax.tree_util as _jtu
 _jtu.register_dataclass(
     DeviceRatings,
     data_fields=["indptr", "indices", "data", "row_ids", "pair_pack",
-                 "it_indptr", "it_pair_pack"],
+                 "it_indptr", "it_pair_pack", "it_order"],
     meta_fields=["nnz", "n_users", "n_items", "eval_span"],
 )
 

@@ -184,9 +184,21 @@ def packed_step(pm: PackedModel, dev, hp: Hyper, key, iteration,
         if dev.it_indptr is None:
             raise ValueError("collision='twin' needs item-major arrays: "
                              "build DeviceRatings with item_major=True")
-        s_uid, w_rat, has_i = sample_items(
-            key, iteration, dev.it_indptr, None, None,
-            user_offset=dev.n_users, pair_pack=dev.it_pair_pack)
+        if dev.it_pair_pack is not None:
+            s_uid, w_rat, has_i = sample_items(
+                key, iteration, dev.it_indptr, None, None,
+                user_offset=dev.n_users, pair_pack=dev.it_pair_pack)
+        else:
+            # Lean (mirror-free) layout: same counter-based positions,
+            # fetched through the it_order permutation into the resident
+            # row_ids/data arrays — identical sample stream, 12 fewer
+            # bytes/rating of HBM (see data/csr.to_device lean=True).
+            from cu2rec_tpu.ops.sgd import gather_1d, sample_positions
+            pos, has_i = sample_positions(key, iteration, dev.it_indptr,
+                                          user_offset=dev.n_users)
+            q = gather_1d(dev.it_order, pos)
+            s_uid = gather_1d(dev.row_ids, q)
+            w_rat = gather_1d(dev.data, q)
         w_rows = row_u32[s_uid]                            # (I, W) pre-step
         T_i32 = T_i.astype(jnp.float32)
         ihat_d = T_i32 * factor + biascol

@@ -120,7 +120,7 @@ class SingleChipEngine:
 
     def __init__(self, train_csr: CSRRatings, test_csr: CSRRatings,
                  cfg: Config, eval_chunk: int = 1 << 20,
-                 packed: bool = True):
+                 packed: bool = True, lean: bool | None = None):
         # Align dimensions so evaluation of either split indexes the same
         # parameter tables (same guard as ShardedEngine; without it a test
         # CSR with a larger max id silently gather-clamps to the last row
@@ -132,8 +132,22 @@ class SingleChipEngine:
         test_csr = normalize_csr_dims(test_csr, n_users, n_items)
         self.n_users = n_users
         self.n_items = n_items
+        if lean is None:
+            # Auto: drop the interleaved sampling mirrors (12 B/rating)
+            # when the twin layout's sampling structures + step-liveness
+            # estimate crowd the 16 GB HBM of one chip — the regime where
+            # F=300 at Netflix scale previously could not run (measured:
+            # netflix_probe --factors 300 --collision twin OOMs the full
+            # layout, fits lean; results/netflix-f300.jsonl).
+            from cu2rec_tpu.ops.packed import packed_width
+            W = packed_width(cfg.n_factors)
+            est = (28 * (train_csr.nnz + test_csr.nnz)
+                   + 6 * 4 * W * n_users)
+            lean = (cfg.collision_policy == "twin" and est > (6 << 30))
+        self.lean = lean
         self.train_dev = to_device(
-            train_csr, item_major=(cfg.collision_policy == "twin"))
+            train_csr, item_major=(cfg.collision_policy == "twin"),
+            lean=lean)
         self.test_dev = to_device(test_csr)
         self.train_eval_dev = self.train_dev
         if cfg.train_eval_sample and train_csr.nnz > cfg.train_eval_sample:

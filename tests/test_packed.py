@@ -149,6 +149,31 @@ def test_packed_twin_every_item_updates(toy_csr):
     np.testing.assert_array_equal(changed, it_deg > 0)
 
 
+def test_packed_twin_lean_bitwise_parity(toy_csr):
+    """The mirror-free (lean) twin layout — it_order permutation +
+    indices/data gathers, 16 B/rating instead of 28 — must produce
+    BIT-IDENTICAL steps to the interleaved-mirror layout (the layout that
+    lets F=300 run at Netflix scale; round-2 verdict item 5).  Multiple
+    iterations so rotation/sampling paths differ."""
+    model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5556, seed=3)
+    dev_full = to_device(toy_csr, item_major=True)
+    dev_lean = to_device(toy_csr, item_major=True, lean=True)
+    assert dev_lean.pair_pack is None and dev_lean.it_pair_pack is None
+    assert dev_lean.it_order is not None
+    key = jax.random.PRNGKey(11)
+    pm_a = pack(model)
+    pm_b = pack(model)
+    for it in range(4):
+        pm_a = packed_step(pm_a, dev_full, HP, key, jnp.int32(it),
+                           collision="twin")
+        pm_b = packed_step(pm_b, dev_lean, HP, key, jnp.int32(it),
+                           collision="twin")
+    np.testing.assert_array_equal(np.asarray(pm_a.T_u),
+                                  np.asarray(pm_b.T_u))
+    np.testing.assert_array_equal(np.asarray(pm_a.T_i),
+                                  np.asarray(pm_b.T_i))
+
+
 def test_twin_requires_item_major(toy_csr):
     model = init_model(toy_csr.n_users, toy_csr.n_items, 4, 3.5, seed=3)
     dev = to_device(toy_csr)  # no item_major
