@@ -77,8 +77,16 @@ def _ridge_kernel(g_ref, rhs_ref, out_ref, *, n: int):
 
 def _pick_tile(n: int) -> int:
     """Lane-aligned batch tile sized so the (N, N, TB) block plus its
-    pipeline double-buffer stays well under VMEM (~16 MB/core)."""
-    budget = 5 << 20  # bytes for one G block
+    pipeline double-buffer AND the kernel's largest live temporary (the
+    (N-1, N-1, TB) trailing update at step 0 — nearly one more block)
+    stay under the 16 MB scoped-VMEM limit.
+
+    The frame is ≈ 2 blocks (pipeline) + 1 block (temp) + small vectors,
+    so the per-block budget must be ≤ ~4.5 MB: a 5 MB budget at N=50
+    picked TB=512 and overflowed the scoped limit by 900 KB at compile
+    time ("Ran out of memory in memory space vmem ... 16.88M vs 16.00M",
+    first hit by the F=50 iALS journey)."""
+    budget = 4 << 20  # bytes for one G block
     tb = budget // (n * n * 4)
     tb = max(128, (tb // 128) * 128)
     return min(tb, 512)

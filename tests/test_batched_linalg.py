@@ -87,3 +87,20 @@ def test_als_pallas_solver_matches_blocked():
             0.05, 0.05, F, solver=solver))
     np.testing.assert_allclose(outs["pallas"], outs["blocked"],
                                atol=2e-4, rtol=2e-3)
+
+
+def test_pallas_tile_respects_vmem_frame():
+    """The lane-batch tile must keep one (N, N, TB) G block within the
+    4 MB budget (frame = 2 pipelined blocks + ~1 trailing-update temp
+    must stay under the 16 MB scoped-VMEM limit; N=50 once picked
+    TB=512 -> a 5.1 MB block and a 16.88 MB frame that failed AOT
+    compile).  The 128-lane floor (large N) is the kernel's minimum and
+    is measured working at N=101."""
+    from cu2rec_tpu.ops.pallas_linalg import MAX_LANES_N, _pick_tile
+
+    for n in range(2, MAX_LANES_N + 1):
+        tb = _pick_tile(n)
+        assert tb >= 128 and tb % 128 == 0
+        block = n * n * tb * 4
+        assert block <= (4 << 20) or tb == 128, (n, tb, block / 2**20)
+    assert _pick_tile(50) <= 384  # the observed-failing shape
