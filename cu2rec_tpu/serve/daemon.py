@@ -30,13 +30,19 @@ Request protocol (JSONL, one object per line):
     {"id": 1, "op": "fold_in", "items": [3, 7], "ratings": [5.0, 3.5],
      "k": 10, "iterations": 500}
     {"id": 2, "op": "recommend", "user": 42, "k": 10}
-    {"id": 3, "op": "stats"}
+    {"id": 3, "op": "recommend", "users": [42, 7, 9], "k": 10}
+    {"id": 4, "op": "stats"}
+
+The batch form ("users") amortizes JSON parse + queue + dispatch overhead
+over many users — a single client can drive the engine at its measured
+batch ceiling without opening hundreds of connections.
 
 Responses (one JSON object per line, in request order per connection):
 
     {"id": 1, "items": [...], "scores": [...]}
-    {"id": 3, "n_items": ..., "requests": ..., "batches": ...}
-    {"id": 4, "error": "..."}
+    {"id": 3, "results": [{"items": [...], "scores": [...]}, ...]}
+    {"id": 4, "n_items": ..., "requests": ..., "batches": ...}
+    {"id": 5, "error": "..."}
 """
 
 from __future__ import annotations
@@ -58,6 +64,9 @@ from cu2rec_tpu.utils.config import Config
 class _Pending:
     req: dict
     future: Future = field(default_factory=Future)
+    # Engine rows this request occupies in its dispatched group (a batch
+    # "users" recommend spans several; everything else spans one).
+    n_rows: int = 1
 
 
 class ServingDaemon:
@@ -139,10 +148,22 @@ class ServingDaemon:
             if it is not None and not (self._is_int(it) and it >= 0):
                 return "'iterations' must be a non-negative int"
         elif op == "recommend":
-            u = req.get("user")
             n_users = int(np.shape(self.engine.P)[0])
-            if not self._is_int(u) or not (0 <= u < n_users):
-                return f"'user' must be an int in [0, {n_users})"
+            if "users" in req:
+                us = req.get("users")
+                if req.get("user") is not None:
+                    return "'user' and 'users' are mutually exclusive"
+                if (not isinstance(us, list) or not us
+                        or not all(self._is_int(u) and 0 <= u < n_users
+                                   for u in us)):
+                    return ("'users' must be a non-empty list of ints in "
+                            f"[0, {n_users})")
+                if len(us) > 65536:
+                    return "'users' batch too large (max 65536)"
+            else:
+                u = req.get("user")
+                if not self._is_int(u) or not (0 <= u < n_users):
+                    return f"'user' must be an int in [0, {n_users})"
         elif op == "stats":
             pass
         else:
@@ -240,20 +261,32 @@ class ServingDaemon:
         except Exception as e:  # noqa: BLE001
             self._fail(grp, e)
             return
-        for b, p in enumerate(grp):
-            p.future.set_result(self._response(p.req, ids[b], scores[b]))
+        b = 0
+        for p in grp:
+            if "users" in p.req:
+                rows = [self._row(ids[b + j], scores[b + j])
+                        for j in range(p.n_rows)]
+                p.future.set_result({"id": p.req.get("id"),
+                                     "results": rows})
+            else:
+                p.future.set_result(
+                    self._response(p.req, ids[b], scores[b]))
+            b += p.n_rows
+
+    @staticmethod
+    def _row(ids_row, scores_row) -> dict:
+        keep = scores_row > -1e30
+        return {"items": [int(i) for i in ids_row[keep]],
+                "scores": [round(float(s), 6) for s in scores_row[keep]]}
 
     @staticmethod
     def _response(req: dict, ids_row, scores_row) -> dict:
         # Fewer than k unrated items leaves surplus slots carrying the
         # engine's mask sentinel (serve/recommend.py contract: < -1e30);
-        # trim them rather than surface sentinel "recommendations".
-        keep = scores_row > -1e30
-        return {
-            "id": req.get("id"),
-            "items": [int(i) for i in ids_row[keep]],
-            "scores": [round(float(s), 6) for s in scores_row[keep]],
-        }
+        # trim them rather than surface sentinel "recommendations" (_row).
+        resp = {"id": req.get("id")}
+        resp.update(ServingDaemon._row(ids_row, scores_row))
+        return resp
 
     def _run_fold_in(self, grp: list[_Pending], k: int, iterations: int):
         B = len(grp)
@@ -273,7 +306,15 @@ class ServingDaemon:
             rated, vals, mask, cfg=cfg, k=k)
 
     def _run_recommend(self, grp: list[_Pending], k: int):
-        uids = np.asarray([p.req["user"] for p in grp], np.int64)
+        flat: list[int] = []
+        for p in grp:
+            us = p.req.get("users")
+            if us is not None:
+                p.n_rows = len(us)
+                flat.extend(us)
+            else:
+                flat.append(p.req["user"])
+        uids = np.asarray(flat, np.int64)
         if self.train_csr is not None:
             return self.engine.recommend_known_padded(
                 uids, self.train_csr, k=k)

@@ -56,6 +56,25 @@ def load_item_components(q_path: str, item_bias_path: str,
 
 def save_checkpoint(path: str, model: MFModel, cfg: Config,
                     extra: dict | None = None) -> str:
+    import jax
+    if jax.process_count() > 1:
+        # Multi-process mesh: the tables are globally sharded (each
+        # process holds only its addressable shards), so materialize the
+        # full arrays on every process before the numpy conversion —
+        # np.asarray on a non-fully-addressable array raises.  Every
+        # process writes (same bytes); callers on a shared filesystem
+        # may restrict to process_index()==0.
+        from jax.experimental import multihost_utils as mhu
+        model = MFModel(
+            P=mhu.process_allgather(model.P, tiled=True),
+            Q=mhu.process_allgather(model.Q, tiled=True),
+            user_bias=mhu.process_allgather(model.user_bias, tiled=True),
+            item_bias=mhu.process_allgather(model.item_bias, tiled=True),
+            # global_bias is replicated (fully addressable): plain
+            # float() works; process_allgather(tiled=) does not apply
+            # to a scalar.
+            global_bias=np.float32(model.global_bias),
+        )
     comps = model_to_numpy(model)
     meta = {"config": dataclasses.asdict(cfg), "extra": extra or {}}
     np.savez_compressed(path, meta=np.frombuffer(

@@ -34,7 +34,11 @@ def main() -> None:
     p.add_argument("--factors", type=int, default=64)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--requests", type=int, default=2048)
-    p.add_argument("--clients", type=int, default=64)
+    p.add_argument("--clients", type=int, default=256)
+    p.add_argument("--batch-users", type=int, nargs="*",
+                   default=[64, 512, 4096],
+                   help="batch-request sizes to probe ({'users': [...]}) "
+                        "— the single-client path to the engine ceiling")
     p.add_argument("--serial", type=int, default=128,
                    help="#requests for the serial baseline")
     p.add_argument("--foldin-iters", type=int, default=100)
@@ -133,6 +137,75 @@ def main() -> None:
                                    / max(nb, 1), 1),
                "window_ms": args.window_ms,
                "foldin_iterations": args.foldin_iters,
+               "backend": jax.default_backend()}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # --- batch-request mode + engine-direct decomposition (recommend) ---
+    # The pooled regime above is request-granular; the batch op lets ONE
+    # client ship B users per JSON line.  For each B: daemon users/s with
+    # a 4-deep in-flight window (pipelines fetch against execute), the
+    # direct engine call at the same B (device+fetch ceiling), and the
+    # dispatch-only engine rate (device ceiling without per-call fetch).
+    for B in (args.batch_users or []):
+        daemon = ServingDaemon(eng, cfg=cfg, max_batch=args.max_batch,
+                               window_ms=0.0, default_k=args.k)
+        daemon.start()
+        n_reqs = max(min(args.requests * 16, 131072) // B, 6)
+        users_pool = rng.integers(0, U, (n_reqs, B))
+
+        def breq(i):
+            return {"id": i, "op": "recommend",
+                    "users": [int(x) for x in users_pool[i]], "k": args.k}
+
+        daemon.submit(breq(0)).result(timeout=600)  # compile at this B
+        window = 4
+        futs = []
+        t0 = time.perf_counter()
+        for i in range(n_reqs):
+            futs.append(daemon.submit(breq(i)))
+            if len(futs) >= window:
+                r = futs.pop(0).result(timeout=600)
+                assert "error" not in r, r
+        for f in futs:
+            r = f.result(timeout=600)
+            assert "error" not in r, r
+        daemon_dt = time.perf_counter() - t0
+        daemon.close()
+
+        # Engine-direct at the same B: what the daemon's _run_recommend
+        # does, minus queue/JSON/future plumbing.
+        uids = users_pool[0]
+        pp, ubp = eng._pad_rows(eng.P[uids], eng.user_bias[uids])
+        Bp = pp.shape[0]
+        zi = np.zeros((Bp, 1), np.int32)
+        zm = np.zeros((Bp, 1), bool)
+        eng.recommend_padded(pp, ubp, zi, zm, k=args.k)  # compiled above
+        reps = max(n_reqs // 2, 3)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            uids = users_pool[i % n_reqs]
+            pp, ubp = eng._pad_rows(eng.P[uids], eng.user_bias[uids])
+            s, ids_ = eng.recommend_padded(pp, ubp, zi, zm, k=args.k)
+            np.asarray(s)  # fetch
+        engine_dt = time.perf_counter() - t0
+        # dispatch-only: fetch once at the end (device-rate bound)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            uids = users_pool[i % n_reqs]
+            pp, ubp = eng._pad_rows(eng.P[uids], eng.user_bias[uids])
+            s, ids_ = eng.recommend_padded(pp, ubp, zi, zm, k=args.k)
+        np.asarray(s)
+        device_dt = time.perf_counter() - t0
+
+        rec = {"kind": "daemon_batch_probe", "op": "recommend",
+               "n_items": I, "n_factors": F, "ip": eng.n_ip, "k": args.k,
+               "batch_users": B, "n_requests": n_reqs,
+               "daemon_users_per_s": round(n_reqs * B / daemon_dt, 1),
+               "engine_users_per_s": round(reps * B / engine_dt, 1),
+               "device_users_per_s": round(reps * B / device_dt, 1),
+               "daemon_vs_engine": round(engine_dt / daemon_dt * n_reqs
+                                         / reps, 3),
                "backend": jax.default_backend()}
         results.append(rec)
         print(json.dumps(rec), flush=True)

@@ -66,6 +66,50 @@ def test_recommend_batch_matches_engine(served):
         np.testing.assert_allclose(resp["scores"], scores[b][keep], atol=1e-5)
 
 
+def test_recommend_users_batch_op(served):
+    """The batch-request form ({"users": [...]}) must return per-user
+    results identical to the same users issued individually AND coalesce
+    with single-user requests into one engine call (round-2 verdict
+    item 3: a single client must be able to amortize JSON/dispatch
+    overhead)."""
+    daemon, engine, csr, _ = served
+    batch_fut = daemon.submit(
+        {"id": 100, "op": "recommend", "users": [0, 2, 4], "k": 3})
+    single_fut = daemon.submit(
+        {"id": 101, "op": "recommend", "user": 1, "k": 3})
+    n0 = daemon.n_batches
+    processed = 0
+    while processed < 2:
+        processed += daemon.process_once(block=False)
+    assert daemon.n_batches == n0 + 1  # one engine call for both requests
+    scores, ids = engine.recommend_known([0, 2, 4, 1], csr, k=3)
+    scores, ids = np.asarray(scores), np.asarray(ids)
+    resp = batch_fut.result(timeout=5)
+    assert resp["id"] == 100 and len(resp["results"]) == 3
+    for b, row in enumerate(resp["results"]):
+        keep = scores[b] > -1e30
+        assert row["items"] == [int(i) for i in ids[b][keep]]
+        np.testing.assert_allclose(row["scores"], scores[b][keep],
+                                   atol=1e-5)
+    single = single_fut.result(timeout=5)
+    keep = scores[3] > -1e30
+    assert single["items"] == [int(i) for i in ids[3][keep]]
+
+
+def test_recommend_users_batch_validation(served):
+    daemon, _, _, _ = served
+    bad = [
+        {"op": "recommend", "users": []},
+        {"op": "recommend", "users": [0], "user": 1},
+        {"op": "recommend", "users": [0, 999999]},
+        {"op": "recommend", "users": [0, True]},
+        {"op": "recommend", "users": "0,1"},
+    ]
+    for req in bad:
+        resp = daemon.submit(req).result(timeout=5)
+        assert "error" in resp, req
+
+
 def test_fold_in_ragged_batch_matches_engine(served):
     daemon, engine, _, fold_cfg = served
     reqs = [

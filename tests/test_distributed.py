@@ -1,18 +1,30 @@
-"""Multi-process ("multi-host") smoke test: two CPU processes × 2 devices
-each form one 4-device mesh and train through the ShardedEngine — the
-multi-host test mode SURVEY §4 calls for.  Runs real
-``jax.distributed.initialize`` over localhost."""
+"""Multi-process ("multi-host") tests: two CPU processes × 2 devices
+each form one 4-device mesh over real ``jax.distributed.initialize`` —
+the multi-host test mode SURVEY §4 calls for.
 
+Coverage (tight assertions, not just "it runs"):
+  * SGD through the ShardedEngine — the multi-process losses must match
+    a single-process run of the SAME 4-device mesh to float tolerance
+    (the bit-identical sharding contract crossing the process boundary);
+  * a 2-process mesh ALS sweep (sharded ridge solves over dp);
+  * checkpoint save mid-run + resume in a FRESH pair of processes — the
+    resumed final model must be byte-identical (sha256 over P and Q) to
+    the uninterrupted run's.
+"""
+
+import hashlib
+import json
 import os
 import socket
 import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 WORKER = textwrap.dedent("""
-    import os, sys
+    import hashlib, json, os, sys
     sys.path.insert(0, os.environ["CU2REC_REPO"])
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -26,6 +38,7 @@ WORKER = textwrap.dedent("""
     assert len(jax.devices()) == 4
 
     import numpy as np
+    from jax.experimental import multihost_utils as mhu
     from cu2rec_tpu.data import build_csr, read_ratings_csv
     from cu2rec_tpu.parallel.sharded import ShardedEngine, make_mesh
     from cu2rec_tpu.train.trainer import train
@@ -35,32 +48,75 @@ WORKER = textwrap.dedent("""
     rd = read_ratings_csv(os.path.join(os.environ["CU2REC_REPO"],
                                        "tests/data/test_ratings.csv"))
     csr = build_csr(rd)
-    cfg = Config(total_iterations=10, n_factors=4, learning_rate=0.05,
-                 check_error=5)
-    engine = ShardedEngine(csr, csr, cfg, mesh=make_mesh(4, 1))
-    model, losses = train(csr, csr, cfg, rd.global_bias,
-                          logger=MetricsLogger(verbose=False),
-                          engine=engine)
-    assert losses[10] <= losses[1] * 1.5
-    print(f"RANK{os.environ['RANK']} OK {losses[10]:.5f}")
+    CKPT = os.environ["CKPT"]
+    quiet = MetricsLogger(verbose=False)
+
+    def digest(model):
+        h = hashlib.sha256()
+        for x in (model.P, model.Q):
+            full = np.asarray(mhu.process_allgather(x, tiled=True)
+                              if jax.process_count() > 1 else x)
+            h.update(np.ascontiguousarray(full).tobytes())
+        return h.hexdigest()
+
+    def sgd_cfg():
+        return Config(total_iterations=10, n_factors=4, learning_rate=0.05,
+                      check_error=5, seed=7)
+
+    if os.environ["PHASE"] == "train":
+        # -- SGD: full 10-iteration run, checkpoint saved at iteration 5
+        # (checkpoint_every=2 eval points: evals land at 1, 5, 10 and the
+        # save fires after the second -> cur_iterations=5 in CKPT).
+        cfg = sgd_cfg()
+        engine = ShardedEngine(csr, csr, cfg, mesh=make_mesh(4, 1))
+        model, losses = train(csr, csr, cfg, rd.global_bias, logger=quiet,
+                              engine=engine, checkpoint_path=CKPT,
+                              checkpoint_every=2)
+        print("LOSSES " + json.dumps(
+            {str(k): float(v) for k, v in losses.items()}))
+        print("DIGEST " + digest(model))
+
+        # -- ALS: 2 mesh sweeps (chunks sharded over dp, solves SPMD)
+        from cu2rec_tpu.train.als import train_als
+        cfg_als = Config(total_iterations=2, n_factors=4, seed=7,
+                         P_reg=0.1, Q_reg=0.1, user_bias_reg=0.1,
+                         item_bias_reg=0.1)
+        _, l_als = train_als(csr, csr, cfg_als, rd.global_bias,
+                             logger=quiet, mesh=make_mesh(4, 1),
+                             device_buckets=False)
+        print("ALS " + json.dumps(
+            {str(k): float(v) for k, v in l_als.items()}))
+    else:  # PHASE == resume: fresh processes restart from the checkpoint
+        from cu2rec_tpu.utils.checkpoint import load_checkpoint
+        model0, cfg_r, _ = load_checkpoint(CKPT)
+        assert cfg_r.cur_iterations == 5, cfg_r.cur_iterations
+        assert cfg_r.total_iterations == 10
+        engine = ShardedEngine(csr, csr, cfg_r, mesh=make_mesh(4, 1))
+        model, losses = train(csr, csr, cfg_r, rd.global_bias,
+                              logger=quiet, engine=engine, model=model0)
+        print("LOSSES " + json.dumps(
+            {str(k): float(v) for k, v in losses.items()}))
+        print("DIGEST " + digest(model))
+
+    print(f"RANK{os.environ['RANK']} OK")
 """)
 
 
-@pytest.mark.skipif(os.environ.get("CU2REC_SKIP_MULTIPROC") == "1",
-                    reason="multi-process test disabled")
-def test_two_process_mesh(tmp_path):
+def _run_pair(tmp_path, phase: str, ckpt: str) -> list[str]:
+    """Launch the 2-process worker pair for ``phase``; returns both
+    stdouts (asserting rank success)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     coord = f"127.0.0.1:{port}"
-    repo = os.path.join(os.path.dirname(__file__), os.pardir)
-
-    script = tmp_path / "worker.py"
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                        os.pardir))
+    script = tmp_path / f"worker_{phase}.py"
     script.write_text(WORKER)
     procs = []
     for rank in range(2):
         env = dict(os.environ, COORD=coord, RANK=str(rank),
-                   CU2REC_REPO=os.path.abspath(repo))
+                   CU2REC_REPO=repo, PHASE=phase, CKPT=ckpt)
         env.pop("XLA_FLAGS", None)
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env,
@@ -76,3 +132,67 @@ def test_two_process_mesh(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
         assert f"RANK{rank} OK" in out
+    return outs
+
+
+def _field(out: str, tag: str) -> str:
+    for line in out.splitlines():
+        if line.startswith(tag + " "):
+            return line[len(tag) + 1:]
+    raise AssertionError(f"{tag} not found in:\n{out[-2000:]}")
+
+
+@pytest.mark.skipif(os.environ.get("CU2REC_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_mesh_full_story(tmp_path):
+    """SGD parity vs single-process, mesh ALS, and checkpoint-resume
+    across a REAL process restart — all on a 2-process 4-device mesh."""
+    ckpt = str(tmp_path / "dist_ckpt.npz")
+    outs = _run_pair(tmp_path, "train", ckpt)
+
+    # Both ranks computed identical losses and identical final models.
+    losses = [json.loads(_field(o, "LOSSES")) for o in outs]
+    assert losses[0] == losses[1]
+    digests = [_field(o, "DIGEST") for o in outs]
+    assert digests[0] == digests[1]
+    als = [json.loads(_field(o, "ALS")) for o in outs]
+    assert als[0] == als[1]
+    # ALS converges in 2 sweeps on the toy data.
+    assert als[0]["2"] <= als[0]["1"]
+
+    # Single-process reference on the SAME 4-device mesh: the
+    # multi-process run must compute the same losses (float tolerance
+    # only — the program and reduction order are identical).
+    import jax
+
+    from cu2rec_tpu.data import build_csr, read_ratings_csv
+    from cu2rec_tpu.parallel.sharded import ShardedEngine, make_mesh
+    from cu2rec_tpu.train.trainer import train
+    from cu2rec_tpu.utils.config import Config
+    from cu2rec_tpu.utils.metrics import MetricsLogger
+
+    if len(jax.devices()) < 4:
+        pytest.skip("reference needs 4 local devices")
+    rd = read_ratings_csv(os.path.join(os.path.dirname(__file__),
+                                       "data/test_ratings.csv"))
+    csr = build_csr(rd)
+    cfg = Config(total_iterations=10, n_factors=4, learning_rate=0.05,
+                 check_error=5, seed=7)
+    engine = ShardedEngine(csr, csr, cfg, mesh=make_mesh(4, 1))
+    _, ref_losses = train(csr, csr, cfg, rd.global_bias,
+                          logger=MetricsLogger(verbose=False),
+                          engine=engine)
+    assert set(map(int, losses[0])) == set(ref_losses)
+    for k, v in ref_losses.items():
+        np.testing.assert_allclose(losses[0][str(k)], v, rtol=1e-6)
+
+    # The checkpoint was saved mid-run; a FRESH process pair resumes it
+    # and must land on the byte-identical final model.
+    assert os.path.exists(ckpt)
+    outs_r = _run_pair(tmp_path, "resume", ckpt)
+    digests_r = [_field(o, "DIGEST") for o in outs_r]
+    assert digests_r[0] == digests_r[1] == digests[0]
+    # Resume evaluates only at the remaining points (10), and its final
+    # loss equals the uninterrupted run's.
+    losses_r = json.loads(_field(outs_r[0], "LOSSES"))
+    np.testing.assert_allclose(losses_r["10"], losses[0]["10"], rtol=1e-6)
