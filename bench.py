@@ -147,13 +147,21 @@ def main() -> None:
     s_out = _topk_users(um.P[uids], um.user_bias[uids], um.Q, um.item_bias,
                         um.global_bias, rated, rmask, 10)
     fetch_barrier(s_out[0])
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        s_out = _topk_users(um.P[uids], um.user_bias[uids], um.Q,
-                            um.item_bias, um.global_bias, rated, rmask, 10)
-    fetch_barrier(s_out[0])
-    serve_qps = B * reps / (time.perf_counter() - t0)
+    # Median-of-N with IQR: single-run rates swung 33-62 K users/s on
+    # this tunneled runtime (dispatch-latency noise, RESULTS.md), which
+    # made round-over-round comparisons of a single number meaningless.
+    rates = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            s_out = _topk_users(um.P[uids], um.user_bias[uids], um.Q,
+                                um.item_bias, um.global_bias, rated,
+                                rmask, 10)
+        fetch_barrier(s_out[0])
+        rates.append(B * reps / (time.perf_counter() - t0))
+    serve_qps = float(np.median(rates))
+    serve_iqr = float(np.percentile(rates, 75) - np.percentile(rates, 25))
 
     print(json.dumps({
         "metric": "ml20m_scale_sgd_user_updates_per_s",
@@ -173,6 +181,7 @@ def main() -> None:
             "ml100k_first_wins_updates_per_s": round(ml100k_ups, 1),
             "cpu_sequential_updates_per_s": round(cpu_ups, 1),
             "serving_top10_users_per_s": round(serve_qps, 1),
+            "serving_top10_iqr": round(serve_iqr, 1),
         },
     }))
 

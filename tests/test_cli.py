@@ -123,3 +123,65 @@ def test_preprocessing_clis(tmp_path, capsys):
     assert convert_to_np.main([str(comp)]) == 0
     arr = np.load(tmp_path / "mat.npy")
     np.testing.assert_allclose(arr, [[1, 2], [3, 4]])
+
+
+def test_get_data_cli(tmp_path, capsys):
+    """The one-command real-data path (cu2rec-get-data): dry-run plan,
+    checksum rejection, and the full offline pipeline from a local
+    archive fixture (download is the only step the fixture skips) —
+    covers the reference benchmark grid's dataset axis prep
+    (cu2rec.sh:8-10 + preprocessing/*.py) end to end."""
+    import json
+    import zipfile
+
+    from cu2rec_tpu.cli.get_data import main as get_data
+
+    # dry-run: plan only, no filesystem writes
+    out = tmp_path / "ml20m"
+    rc = get_data(["ml20m", "--outdir", str(out), "--dry-run"])
+    assert rc == 0
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["member"] == "ml-20m/ratings.csv"
+    assert str(out) in plan["outputs"][0]
+    assert not out.exists()
+
+    # local archive fixture in MovieLens layout (4th timestamp column)
+    archive = tmp_path / "ml-20m.zip"
+    rows = ["userId,movieId,rating,timestamp",
+            "7,10,4.0,111", "7,30,3.0,112", "3,10,5.0,113",
+            "3,20,1.0,114", "9,20,2.0,115"]
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("ml-20m/ratings.csv", "\n".join(rows) + "\n")
+
+    # checksum is enforced on local archives too
+    rc = get_data(["ml20m", "--outdir", str(out), "--archive",
+                   str(archive)])
+    assert rc == 1
+    capsys.readouterr()
+
+    rc = get_data(["ml20m", "--outdir", str(out), "--archive",
+                   str(archive), "--no-checksum", "--test-fraction",
+                   "0.2"])
+    assert rc == 0
+    capsys.readouterr()
+    mapped = out / "ratings_mapped.csv"
+    train = out / "ratings_mapped_train.csv"
+    test = out / "ratings_mapped_test.csv"
+    assert mapped.exists() and train.exists() and test.exists()
+    lines = mapped.read_text().strip().splitlines()
+    assert lines[0] == "userId,itemId,rating"
+    body = [l.split(",") for l in lines[1:]]
+    assert len(body) == 5
+    # ids remapped to sequential 1-based ints, sorted by user
+    assert {r[0] for r in body} == {"1", "2", "3"}
+    assert {r[1] for r in body} <= {"1", "2", "3"}
+    n_train = len(train.read_text().strip().splitlines()) - 1
+    n_test = len(test.read_text().strip().splitlines()) - 1
+    assert n_train + n_test == 5
+    # the produced files drive the real trainer
+    from cu2rec_tpu.cli.mf import main as mf_main
+    cfgp = tmp_path / "cfg.txt"
+    cfgp.write_text("0 20 4 0.05 42 0.02 0.02 0.02 0.02\n")
+    rc = mf_main(["-c", str(cfgp), str(train), str(train),
+                  "--outdir", str(tmp_path / "outm")])
+    assert rc == 0
