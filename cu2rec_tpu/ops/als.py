@@ -404,7 +404,7 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
     if group_k is None:
         group_k = _FUSED_GROUP_K
     full_sig = (tag, _chunks_sig(regs), _chunks_sig(heavies))
-    if full_sig not in _FUSED_DISABLED:
+    if not _sig_disabled(full_sig):
         try:
             out = fused_fn(T_self, regs, heavies)
             _check_fused_runtime(out, full_sig)
@@ -418,7 +418,7 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
     T = T_self
     for regs_g, heavies_g in groups:
         gsig = (tag, "group", _chunks_sig(regs_g), _chunks_sig(heavies_g))
-        if gsig in _FUSED_DISABLED:
+        if _sig_disabled(gsig):
             T = eager_fn(T, regs_g, heavies_g)
             continue
         try:
@@ -465,8 +465,59 @@ def _check_fused_runtime(out, sig) -> None:
         _FUSED_VERIFIED.add(key)
 
 
+def _disabled_store_path():
+    """Path of the persisted disabled-signature list, or None when
+    persistent caching is off (tests; CU2REC_NO_COMPILE_CACHE).  The XLA
+    compile cache only remembers SUCCESSFUL compiles — without this
+    store every fresh process re-pays a doomed multi-minute fused
+    compile (observed: ~5 min of remote-compile SIGKILL per run of the
+    ML-20M iALS journey) before falling to the group tier."""
+    import os
+
+    if os.environ.get("CU2REC_NO_FUSED_PERSIST"):
+        return None
+    from cu2rec_tpu.utils.cache import persist_dir
+    d = persist_dir()
+    return os.path.join(d, "fused_disabled.json") if d else None
+
+
+def _sig_disabled(sig) -> bool:
+    global _FUSED_DISABLED_PERSISTED
+    if sig in _FUSED_DISABLED:
+        return True
+    if _FUSED_DISABLED_PERSISTED is None:
+        path = _disabled_store_path()
+        entries: set = set()
+        if path:
+            import json
+            import os
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        entries = set(json.load(f))
+                except (OSError, ValueError):
+                    entries = set()
+        _FUSED_DISABLED_PERSISTED = entries
+    return repr(sig) in _FUSED_DISABLED_PERSISTED
+
+
+# Lazily loaded repr-string mirror of _FUSED_DISABLED persisted across
+# processes (None until first _sig_disabled call).
+_FUSED_DISABLED_PERSISTED = None
+
+
 def _disable_fused(sig, exc: Exception, tier: str = "full") -> None:
     _FUSED_DISABLED.add(sig)
+    path = _disabled_store_path()
+    if path:  # persistence enabled (CLIs/harnesses; never in tests)
+        _sig_disabled(sig)  # ensure the persisted set is loaded
+        _FUSED_DISABLED_PERSISTED.add(repr(sig))
+        import json
+        try:
+            with open(path, "w") as f:
+                json.dump(sorted(_FUSED_DISABLED_PERSISTED), f)
+        except OSError:
+            pass
     import warnings
     nxt = ("retrying as group-fused programs" if tier == "full"
            else "computing this group per-chunk")

@@ -32,3 +32,18 @@ def enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _DONE = True
+
+
+def persist_dir() -> str | None:
+    """The cu2rec cache directory when persistent caching is enabled
+    (same opt-in as the XLA compile cache), else None.  Used by the
+    fused-sweep disabled-signature store (ops/als): the XLA cache only
+    remembers SUCCESSFUL compiles, so without this every fresh process
+    re-pays a doomed multi-minute Netflix-scale fused compile before
+    falling to the group tier."""
+    if not _DONE:
+        return None
+    return os.environ.get(
+        "CU2REC_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "cu2rec_tpu",
+                     "jax_cache"))

@@ -10,6 +10,11 @@ before the first jax import, hence this happens at conftest import time.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests inject synthetic fused-compile failures; those toy signatures
+# must never reach the cross-process disabled-signature store (ops/als
+# _disabled_store_path) — a CLI test calling enable_compile_cache in the
+# same process would otherwise turn persistence on mid-suite.
+os.environ["CU2REC_NO_FUSED_PERSIST"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -322,6 +322,7 @@ def test_fused_compile_failure_falls_back(toy_csr, monkeypatch):
 
     monkeypatch.setattr(als_mod, "_als_half_sweep_fused", boom)
     monkeypatch.setattr(als_mod, "_FUSED_DISABLED", set())
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED_PERSISTED", set())
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -375,6 +376,7 @@ def test_fused_failure_is_per_signature(toy_csr, monkeypatch):
 
     monkeypatch.setattr(als_mod, "_als_half_sweep_fused", fail_full_only)
     monkeypatch.setattr(als_mod, "_FUSED_DISABLED", set())
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED_PERSISTED", set())
     monkeypatch.setattr(als_mod, "_FUSED_GROUP_K", 1)
     want = np.asarray(als_mod.als_half_sweep(
         pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
