@@ -401,6 +401,13 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
     compute identical results (parity-tested); both close over the frozen
     other-side table.
     """
+    import os
+    if os.environ.get("CU2REC_NO_FUSED"):
+        # Operational escape hatch: some (data-dependent) chunk sets wedge
+        # the remote compile helper for an hour+ even at the group tier;
+        # the per-chunk path computes identical results from a handful of
+        # small fast-compiling programs.
+        return eager_fn(T_self, regs, heavies)
     if group_k is None:
         group_k = _FUSED_GROUP_K
     full_sig = (tag, _chunks_sig(regs), _chunks_sig(heavies))

@@ -193,8 +193,13 @@ def test_bpr_sharded_matches_single():
                     global_bias=jnp.float32(0.0))
     ref = unpack(bpr_run_steps(pack(model), dev, hp, key, 0, n_steps))
 
-    for n_dp in (2, 4):
-        eng = ShardedBPR(csr, cfg, n_devices=n_dp, model=model)
+    # 2D mesh coverage: dp-only, dp×ip (item table row-sharded over ip —
+    # I=9 does not divide ip either), and ip-only.  All bit-identical
+    # (round-2 verdict item 7: BPR was dp-only).
+    for n_dp, n_ip in ((2, 1), (4, 1), (2, 2), (1, 4), (2, 4)):
+        eng = ShardedBPR(csr, cfg, n_devices=n_dp * n_ip, model=model,
+                         n_ip=n_ip)
+        assert (eng.n_dp, eng.n_ip) == (n_dp, n_ip)
         eng.run(hp, key, 0, n_steps)
         got = eng.model()
         np.testing.assert_array_equal(np.asarray(got.P),
