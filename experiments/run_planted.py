@@ -52,10 +52,11 @@ def main() -> int:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--reg", type=float, default=0.02)
     p.add_argument("--alpha", type=float, default=None,
-                   help="iALS confidence slope; default 1.0 on --implicit "
-                        "data (binary observations: alpha only scales the "
-                        "uniform confidence; measured sweep favors 1.0), "
-                        "else the CLI default 40.0")
+                   help="iALS confidence slope; default 40.0 (the CLI "
+                        "default) — the r3 measured sweep on planted "
+                        "implicit ML-20M rises monotonically 0.3→40: "
+                        "AUC 0.869→0.882, recall@10 0.032→0.050 "
+                        "(results/planted-ml20m-*-ials-a*.jsonl)")
     p.add_argument("--train-eval-sample", type=int, default=2_000_000)
     p.add_argument("--test-eval-sample", type=int, default=0)
     p.add_argument("--implicit", action="store_true",
@@ -109,8 +110,7 @@ def main() -> int:
     if args.algo == "sgd":
         cmd += ["--collision", args.collision]
     if args.algo == "ials":
-        alpha = args.alpha if args.alpha is not None else (
-            1.0 if args.implicit else 40.0)
+        alpha = args.alpha if args.alpha is not None else 40.0
         cmd += ["--alpha", str(alpha)]
     env = dict(os.environ)
     t_train = run(cmd, env=env)
@@ -127,6 +127,8 @@ def main() -> int:
     summary = dict(event="summary", preset=args.preset, algo=args.algo,
                    collision=args.collision, factors=args.factors,
                    iterations=args.iterations, noise_floor=floor,
+                   reg=args.reg,
+                   alpha=(args.alpha if args.algo == "ials" else None),
                    final_test_rmse=last.get("test_rmse"),
                    final_test_mae=last.get("test_mae"),
                    gap_to_floor=(last.get("test_rmse", 0) - floor
