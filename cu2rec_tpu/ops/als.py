@@ -32,7 +32,13 @@ from cu2rec_tpu.data.csr import CSRRatings
 # HEAVY path: their slice is split into cap-sized segments whose partial
 # Gram matrices are summed exactly (the Gram is a sum over ratings — no
 # truncation; see _solve_heavy).
-BUCKET_CAPS = (8, 32, 128, 512, 2048, 8192)
+#
+# ×2-spaced (r3): with the coarser ×4 ladder the padded-slot waste of a
+# power-law side was 1.89× (every gather/X-stream/einsum pays it —
+# results/als-decompose.jsonl); ×2 caps bound the within-bucket spread
+# at 2× and the bucket width is further trimmed to the actual max
+# degree (bucket_meta cap_eff).
+BUCKET_CAPS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
 @dataclass
@@ -70,8 +76,15 @@ def bucket_meta(indptr: np.ndarray, caps=BUCKET_CAPS) -> list[dict]:
         sel = np.nonzero((deg > lo) & (deg <= cap))[0]
         if len(sel) == 0:
             continue
+        # Trim the padded width to the bucket's ACTUAL max degree
+        # (8-aligned): with the static cap, a bucket whose members
+        # cluster near its lower edge pads every row to the top —
+        # measured 3.35x padded-slot waste on the uniform-degree user
+        # side at ML-20M (results/als-decompose.jsonl), multiplying the
+        # gather + X-stream + einsum costs that dominate the sweep.
+        cap_eff = min(cap, int(-(-int(deg[sel].max()) // 8) * 8))
         metas.append(dict(row_ids=sel.astype(np.int32), starts=indptr[sel],
-                          lens=deg[sel], cap=cap))
+                          lens=deg[sel], cap=cap_eff))
     cap = caps[-1]
     sel = np.nonzero(deg > cap)[0]
     if len(sel):

@@ -52,14 +52,15 @@ from cu2rec_tpu.ops.packed import pack
 from cu2rec_tpu.utils.timing import fetch_barrier
 
 
-def phase_program(chunks, T_other, mu, phase: str, F: int):
+def phase_program(phase: str, F: int):
     """One jitted program running ``phase`` over every chunk, chained
-    with optimization_barrier like the shipped fused sweep."""
-    regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
-    heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
+    with optimization_barrier like the shipped fused sweep.  Chunk
+    arrays are jit ARGUMENTS (closing over them embeds them as program
+    constants and the remote compile request body explodes past the
+    tunnel's length limit — HTTP 413)."""
 
-    @jax.jit
-    def prog(T_other):
+    @partial(jax.jit, static_argnames=())
+    def prog(T_other, mu, regs, heavies):
         acc = jnp.float32(0.0)
         for parts in regs + heavies:
             cols, vals, mask = parts[0], parts[1], parts[2]
@@ -165,11 +166,13 @@ def main() -> int:
                 fetch_barrier(out)
             return (time.perf_counter() - t0) / args.reps
 
+        regs = tuple(ch[1:] for ch in chunks if ch[0] == "reg")
+        heavies = tuple(ch[1:] for ch in chunks if ch[0] == "heavy")
         prev = 0.0
         for phase in ("gather", "gather_x", "gather_gram", "gram_rhs",
                       "gram_noX"):
-            prog = phase_program(chunks, T_other, mu, phase, F)
-            dt = timed(prog, T_other)
+            prog = phase_program(phase, F)
+            dt = timed(prog, T_other, mu, regs, heavies)
             emit(kind="als_phase", side=side, phase=phase, s=round(dt, 4),
                  delta_vs_prev=(round(dt - prev, 4)
                                 if phase != "gram_noX" else None))
