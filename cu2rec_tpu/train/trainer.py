@@ -135,10 +135,14 @@ class SingleChipEngine:
         if lean is None:
             # Auto: drop the interleaved sampling mirrors (12 B/rating)
             # when the twin layout's sampling structures + step-liveness
-            # estimate crowd the 16 GB HBM of one chip — the regime where
-            # F=300 at Netflix scale previously could not run (measured:
-            # netflix_probe --factors 300 --collision twin OOMs the full
-            # layout, fits lean; results/netflix-f300.jsonl).
+            # estimate crowd the 16 GB HBM of one chip.  Measured at
+            # Netflix F=300 (netflix_probe --factors 300 --collision
+            # twin): full layout 13.2 ms/step, lean 18.1 ms/step,
+            # identical results — in isolation BOTH fit, so the
+            # threshold is set where the full layout's estimate plus a
+            # full training journey's extra state (test split, eval
+            # subsample, checkpoint staging) approaches the budget;
+            # lean trades ~27% step time for 1.2 GB of headroom.
             from cu2rec_tpu.ops.packed import packed_width
             W = packed_width(cfg.n_factors)
             est = (28 * (train_csr.nnz + test_csr.nnz)

@@ -27,6 +27,10 @@ def main() -> None:
     p.add_argument("--dtype", default="float32")
     p.add_argument("--collision", default="first_wins",
                    choices=["first_wins", "mean", "sum", "twin"])
+    p.add_argument("--lean", action="store_true",
+                   help="mirror-free sampling layout (16 B/rating instead "
+                        "of 28 under twin; data/csr.to_device lean=True) — "
+                        "the layout that fits F=300 at this scale")
     args = p.parse_args()
 
     from cu2rec_tpu.utils.cache import enable_compile_cache
@@ -56,7 +60,8 @@ def main() -> None:
     del users, items, vals
 
     t0 = time.perf_counter()
-    dev = to_device(csr, item_major=args.collision == "twin")
+    dev = to_device(csr, item_major=args.collision == "twin",
+                    lean=args.lean)
     fetch_barrier(dev.data)
     print(f"H2D upload: {time.perf_counter() - t0:.1f}s "
           f"(~{(csr.nnz * 12) / 1e9:.1f} GB)")
