@@ -92,28 +92,59 @@ class ShardedServingEngine:
 
         def body(p_rows, ub_rows, T_i_l, rated, rmask):
             ip = jax.lax.axis_index("ip")
-            I_loc = T_i_l.shape[0]
+            I_loc, W = T_i_l.shape
             offset = ip * I_loc
-            Q_l = T_i_l[:, :F].astype(jnp.float32)
-            ib_l = T_i_l[:, F].astype(jnp.float32)
-            scores = jnp.dot(p_rows.astype(jnp.float32), Q_l.T,
+            # Item-axis chunking bounds the live score tile to (B, C):
+            # the full (B, I_loc) matrix is 16 GB at B=4096 over a
+            # 1M-item catalog — large batch requests would OOM (and even
+            # B=512 OOMs with a few batches pipelined in flight).  C is
+            # sized so the tile is ≤ ~512 MB, floored at 8192 (k ≤ C);
+            # a lax.fori_loop scans the catalog with a running top-k
+            # merge, so peak memory is one tile + the (B, k) carry
+            # regardless of batch size.  Single-chunk catalogs reduce to
+            # the original one-pass program.
+            C = min(I_loc,
+                    max(8192, (128 << 20) // max(B, 1) // 128 * 128))
+            n_chunks = -(-I_loc // C)
+            k_loc = min(k, C)
+            pr = p_rows.astype(jnp.float32)
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], rated.shape)
+
+            def chunk_step(c, carry):
+                vals0, idx0 = carry
+                # Clamped start: the last chunk overlaps its predecessor
+                # instead of padding; overlapped entries are masked off
+                # by the lid >= c*C condition so each item scores in
+                # exactly one chunk.
+                c0 = jnp.minimum(c * C, I_loc - C)
+                Tc = jax.lax.dynamic_slice(T_i_l, (c0, 0), (C, W))
+                sc = jnp.dot(pr, Tc[:, :F].astype(jnp.float32).T,
                              preferred_element_type=jnp.float32)
-            scores = scores + self.mu + ub_rows[:, None] + ib_l[None, :]
-            gids = offset + jnp.arange(I_loc)
-            scores = jnp.where(gids[None, :] < n_real, scores, NEG_INF)
-            loc = rated - offset
-            in_shard = rmask & (loc >= 0) & (loc < I_loc)
-            cols = jnp.clip(loc, 0, I_loc - 1)
-            rows = jnp.broadcast_to(jnp.arange(B)[:, None], cols.shape)
-            scores = scores.at[rows, cols].min(
-                jnp.where(in_shard, NEG_INF, jnp.float32(3.0e38)))
-            k_loc = min(k, I_loc)
-            vals, idx = jax.lax.top_k(scores, k_loc)
-            idx = idx + offset
-            if k_loc < k:
-                vals = jnp.pad(vals, ((0, 0), (0, k - k_loc)),
-                               constant_values=NEG_INF)
-                idx = jnp.pad(idx, ((0, 0), (0, k - k_loc)))
+                sc = (sc + self.mu + ub_rows[:, None]
+                      + Tc[:, F].astype(jnp.float32)[None, :])
+                lid = c0 + jnp.arange(C)
+                valid = (lid >= c * C) & (offset + lid < n_real)
+                sc = jnp.where(valid[None, :], sc, NEG_INF)
+                loc = rated - offset - c0
+                in_chunk = rmask & (loc >= 0) & (loc < C)
+                cols = jnp.clip(loc, 0, C - 1)
+                sc = sc.at[rows, cols].min(
+                    jnp.where(in_chunk, NEG_INF, jnp.float32(3.0e38)))
+                v, i = jax.lax.top_k(sc, k_loc)
+                i = i + c0 + offset
+                if k_loc < k:
+                    v = jnp.pad(v, ((0, 0), (0, k - k_loc)),
+                                constant_values=NEG_INF)
+                    i = jnp.pad(i, ((0, 0), (0, k - k_loc)))
+                mv, mpos = jax.lax.top_k(
+                    jnp.concatenate([vals0, v], axis=1), k)
+                mi = jnp.take_along_axis(
+                    jnp.concatenate([idx0, i], axis=1), mpos, axis=1)
+                return mv, mi
+
+            init = (jnp.full((B, k), NEG_INF, jnp.float32),
+                    jnp.zeros((B, k), jnp.int32))
+            vals, idx = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
             vals_all = jax.lax.all_gather(vals, "ip", axis=1, tiled=True)
             idx_all = jax.lax.all_gather(idx, "ip", axis=1, tiled=True)
             mvals, mpos = jax.lax.top_k(vals_all, k)

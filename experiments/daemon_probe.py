@@ -44,6 +44,8 @@ def main() -> None:
     p.add_argument("--foldin-iters", type=int, default=100)
     p.add_argument("--window-ms", type=float, default=4.0)
     p.add_argument("--max-batch", type=int, default=512)
+    p.add_argument("--only-batch", action="store_true",
+                   help="skip the serial/pooled request-granular section")
     args = p.parse_args()
 
     from cu2rec_tpu.utils.cache import enable_compile_cache
@@ -53,6 +55,7 @@ def main() -> None:
 
     from cu2rec_tpu.models.state import init_model
     from cu2rec_tpu.serve.daemon import ServingDaemon
+    from cu2rec_tpu.serve.engine import _pow2_pad
     from cu2rec_tpu.serve.engine import ShardedServingEngine
     from cu2rec_tpu.utils.config import Config
 
@@ -82,7 +85,7 @@ def main() -> None:
                 "k": args.k, "iterations": args.foldin_iters}
 
     results = []
-    for op in ("recommend", "fold_in"):
+    for op in (() if args.only_batch else ("recommend", "fold_in")):
         daemon = ServingDaemon(eng, cfg=cfg, max_batch=args.max_batch,
                                window_ms=args.window_ms, default_k=args.k)
         daemon.start()
@@ -158,8 +161,20 @@ def main() -> None:
             return {"id": i, "op": "recommend",
                     "users": [int(x) for x in users_pool[i]], "k": args.k}
 
-        daemon.submit(breq(0)).result(timeout=600)  # compile at this B
+        # Precompile every pow2 row-count the pipeline can coalesce to
+        # (window in-flight batch requests can merge into one group):
+        # an uncompiled shape mid-run would hide a multi-minute remote
+        # compile inside the throughput number.
         window = 4
+        bp = _pow2_pad(B)
+        while bp <= _pow2_pad(B) * window and bp <= 65536:
+            eng.recommend_padded(
+                np.zeros((bp, eng.F), np.float32), np.zeros(bp, np.float32),
+                np.zeros((bp, 1), np.int32), np.zeros((bp, 1), bool),
+                k=args.k)
+            bp *= 2
+        daemon.submit(breq(0)).result(timeout=600)
+        b0, r0 = daemon.n_batches, daemon.n_batched_requests
         futs = []
         t0 = time.perf_counter()
         for i in range(n_reqs):
@@ -171,6 +186,8 @@ def main() -> None:
             r = f.result(timeout=600)
             assert "error" not in r, r
         daemon_dt = time.perf_counter() - t0
+        nb = daemon.n_batches - b0
+        nr = daemon.n_batched_requests - r0
         daemon.close()
 
         # Engine-direct at the same B: what the daemon's _run_recommend
@@ -201,6 +218,8 @@ def main() -> None:
         rec = {"kind": "daemon_batch_probe", "op": "recommend",
                "n_items": I, "n_factors": F, "ip": eng.n_ip, "k": args.k,
                "batch_users": B, "n_requests": n_reqs,
+               "engine_batches": nb,
+               "mean_reqs_per_engine_batch": round(nr / max(nb, 1), 2),
                "daemon_users_per_s": round(n_reqs * B / daemon_dt, 1),
                "engine_users_per_s": round(reps * B / engine_dt, 1),
                "device_users_per_s": round(reps * B / device_dt, 1),

@@ -292,3 +292,31 @@ def test_ranking_eval_returns_both_metrics(trained):
     assert out["recall"] == recall_at_k_eval(model, toy_csr, toy_csr, k=3)
     with pytest.raises(ValueError, match="unknown ranking metric"):
         ranking_eval(model, toy_csr, toy_csr, k=3, metrics=("map",))
+
+
+def test_serving_engine_chunked_catalog_scan_parity():
+    """The chunked catalog scan (fori_loop over ≤8192-item tiles with a
+    running top-k merge — bounds the score tile so B=4096 at a 1M-item
+    catalog cannot OOM) must return the same top-k as the one-pass
+    full-matrix reference, including rated-item masking and the padded
+    catalog tail, across ip shardings that force multiple chunks."""
+    import jax
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+    from cu2rec_tpu.serve.recommend import recommend_users
+
+    U, I, F = 64, 20_001, 8  # I_loc=10001 per shard at ip=2 -> 2 chunks
+    model = init_model(U, I, F, 3.0, seed=13)
+    rng = np.random.default_rng(5)
+    users = rng.integers(0, U, 16).tolist()
+    rated = rng.integers(0, I, (16, 7)).astype(np.int32)
+    rmask = rng.random((16, 7)) > 0.3
+    svals, srecs = recommend_users(model, users, rated, rmask, k=10)
+    svals, srecs = np.asarray(svals), np.asarray(srecs)
+    for n_ip in (1, 2):
+        eng = ShardedServingEngine(model, devices=jax.devices()[:n_ip])
+        dvals, drecs = eng.recommend(
+            np.asarray(model.P)[users], np.asarray(model.user_bias)[users],
+            rated, rmask, k=10)
+        np.testing.assert_allclose(np.asarray(dvals), svals, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(drecs), srecs)
