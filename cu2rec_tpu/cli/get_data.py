@@ -29,14 +29,29 @@ DATASETS = {
         "delim": ",",
         "header": True,
     },
-    "ml100k": {
-        # "latest-small" — the checked-in sample dataset's source.
+    # "latest-small" — the checked-in sample dataset's source.  NOTE:
+    # GroupLens documents the "latest" datasets as periodically
+    # regenerated, so the pinned md5 tracks a SNAPSHOT; a fresh download
+    # after upstream regenerates will fail the checksum (use --no-checksum
+    # or re-pin).  "ml100k" is kept as an alias because the repo's
+    # data/ml100k_* sample came from this snapshot.
+    "ml-latest-small": {
         "url": ("https://files.grouplens.org/datasets/movielens/"
                 "ml-latest-small.zip"),
         "md5": "0e33842e24a9c977be4e0107933c0723",
         "member": "ml-latest-small/ratings.csv",
         "delim": ",",
         "header": True,
+    },
+    # The STABLE classic ML-100K archive (tab-separated u.data, no
+    # header).  GroupLens does not publish a checksum we can pin offline;
+    # verify with --md5 if you have one.
+    "ml100k-classic": {
+        "url": "https://files.grouplens.org/datasets/movielens/ml-100k.zip",
+        "md5": None,
+        "member": "ml-100k/u.data",
+        "delim": "\t",
+        "header": False,
     },
     "ml25m": {
         "url": "https://files.grouplens.org/datasets/movielens/ml-25m.zip",
@@ -70,15 +85,17 @@ def _download(url: str, dest: str) -> None:
             f.write(b)
 
 
-def _strip_timestamp(src: str, dest: str, header: bool) -> None:
-    """MovieLens ratings.csv is ``userId,movieId,rating,timestamp``; the
-    mapper wants 3 columns.  Stream-strip the 4th."""
+def _strip_timestamp(src: str, dest: str, header: bool,
+                     delim: str = ",") -> None:
+    """MovieLens rating files are ``user<delim>item<delim>rating<delim>
+    timestamp``; the mapper wants 3 comma-separated columns.  Stream-strip
+    the 4th (and normalize the delimiter)."""
     with open(src) as fin, open(dest, "w") as fout:
         if header:
             next(fin)
         fout.write("userId,itemId,rating\n")
         for line in fin:
-            parts = line.rstrip("\n").split(",")
+            parts = line.rstrip("\n").split(delim)
             if len(parts) >= 3:
                 fout.write(",".join(parts[:3]) + "\n")
 
@@ -86,7 +103,15 @@ def _strip_timestamp(src: str, dest: str, header: bool) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="Download + checksum + map + split a real dataset")
-    p.add_argument("dataset", choices=sorted(DATASETS))
+    p.add_argument("dataset",
+                   choices=sorted(DATASETS) + ["ml100k"],
+                   help="'ml100k' is an alias for 'ml-latest-small' "
+                        "(the checked-in sample's source snapshot); "
+                        "'ml100k-classic' is the stable ml-100k.zip")
+    p.add_argument("--md5", default=None,
+                   help="override/provide the expected archive md5 "
+                        "(required to verify datasets with no pinned "
+                        "checksum, e.g. ml100k-classic)")
     p.add_argument("--outdir", default=None,
                    help="output directory (default data/<dataset>)")
     p.add_argument("--archive", default=None,
@@ -99,7 +124,10 @@ def main(argv=None) -> int:
                    help="print the resolved plan and exit 0")
     args = p.parse_args(argv)
 
-    spec = DATASETS[args.dataset]
+    name = "ml-latest-small" if args.dataset == "ml100k" else args.dataset
+    spec = dict(DATASETS[name])
+    if args.md5:
+        spec["md5"] = args.md5
     outdir = args.outdir or os.path.join("data", args.dataset)
     archive = args.archive or os.path.join(outdir,
                                            os.path.basename(spec["url"]))
@@ -128,12 +156,16 @@ def main(argv=None) -> int:
                   f"{os.path.basename(spec['url'])}", file=sys.stderr)
             return 1
     if not args.no_checksum:
-        got = _md5(archive)
-        if got != spec["md5"]:
-            print(f"checksum mismatch for {archive}: got {got}, want "
-                  f"{spec['md5']}", file=sys.stderr)
-            return 1
-        print(f"checksum ok ({got})", flush=True)
+        if spec["md5"] is None:
+            print(f"warning: no pinned checksum for {name}; pass --md5 "
+                  f"to verify", file=sys.stderr)
+        else:
+            got = _md5(archive)
+            if got != spec["md5"]:
+                print(f"checksum mismatch for {archive}: got {got}, want "
+                      f"{spec['md5']}", file=sys.stderr)
+                return 1
+            print(f"checksum ok ({got})", flush=True)
 
     raw = os.path.join(outdir, "ratings_raw.csv")
     with zipfile.ZipFile(archive) as z, z.open(spec["member"]) as src, \
@@ -146,7 +178,7 @@ def main(argv=None) -> int:
     print(f"extracted {spec['member']} -> {raw}", flush=True)
 
     three_col = os.path.join(outdir, "ratings_3col.csv")
-    _strip_timestamp(raw, three_col, spec["header"])
+    _strip_timestamp(raw, three_col, spec["header"], spec["delim"])
 
     from cu2rec_tpu.data.mapping import process_file
     mapped = os.path.join(outdir, "ratings_mapped.csv")

@@ -501,28 +501,44 @@ def _disabled_store_path():
     return os.path.join(d, "fused_disabled.json") if d else None
 
 
-def _sig_disabled(sig) -> bool:
+def _read_disabled_store(path: str) -> set:
+    import json
+    import os
+    if not os.path.exists(path):
+        return set()
+    try:
+        with open(path) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
+def _persisted_disabled() -> set:
+    """The persisted disabled-signature set for the CURRENT store path.
+
+    Keyed by path (not loaded-once): enable_compile_cache() can turn
+    persistence on AFTER a first _sig_disabled call — a load-once cache
+    pinned to the early None path would shadow (and, on the next write,
+    clobber) signatures persisted by earlier runs."""
     global _FUSED_DISABLED_PERSISTED
+    path = _disabled_store_path()
+    if path is None:
+        return set()
+    if _FUSED_DISABLED_PERSISTED is None or \
+            _FUSED_DISABLED_PERSISTED[0] != path:
+        _FUSED_DISABLED_PERSISTED = (path, _read_disabled_store(path))
+    return _FUSED_DISABLED_PERSISTED[1]
+
+
+def _sig_disabled(sig) -> bool:
     if sig in _FUSED_DISABLED:
         return True
-    if _FUSED_DISABLED_PERSISTED is None:
-        path = _disabled_store_path()
-        entries: set = set()
-        if path:
-            import json
-            import os
-            if os.path.exists(path):
-                try:
-                    with open(path) as f:
-                        entries = set(json.load(f))
-                except (OSError, ValueError):
-                    entries = set()
-        _FUSED_DISABLED_PERSISTED = entries
-    return repr(sig) in _FUSED_DISABLED_PERSISTED
+    return repr(sig) in _persisted_disabled()
 
 
-# Lazily loaded repr-string mirror of _FUSED_DISABLED persisted across
-# processes (None until first _sig_disabled call).
+# (path, repr-string set) mirror of _FUSED_DISABLED persisted across
+# processes; None until the store is first read, re-read when the store
+# path changes (see _persisted_disabled).
 _FUSED_DISABLED_PERSISTED = None
 
 
@@ -530,12 +546,19 @@ def _disable_fused(sig, exc: Exception, tier: str = "full") -> None:
     _FUSED_DISABLED.add(sig)
     path = _disabled_store_path()
     if path:  # persistence enabled (CLIs/harnesses; never in tests)
-        _sig_disabled(sig)  # ensure the persisted set is loaded
-        _FUSED_DISABLED_PERSISTED.add(repr(sig))
+        entries = _persisted_disabled()
+        entries.add(repr(sig))
+        # Merge-on-write: concurrent processes each rewrite the whole
+        # file, so union with whatever landed since our read — last
+        # writer must not drop the other's signatures.
+        entries |= _read_disabled_store(path)
         import json
+        import os
         try:
-            with open(path, "w") as f:
-                json.dump(sorted(_FUSED_DISABLED_PERSISTED), f)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(sorted(entries), f)
+            os.replace(tmp, path)
         except OSError:
             pass
     import warnings

@@ -80,13 +80,23 @@ class ServingDaemon:
 
     def __init__(self, engine, train_csr=None, cfg: Config | None = None,
                  max_batch: int = 512, window_ms: float = 4.0,
-                 default_k: int = 10):
+                 default_k: int = 10, max_rows: int = 4096,
+                 max_fold_in_items: int = 16384):
         self.engine = engine
         self.train_csr = train_csr
         self.cfg = cfg or Config()
         self.max_batch = max_batch
         self.window_ms = window_ms
         self.default_k = default_k
+        # Engine-call row budget: ``max_batch`` counts REQUESTS, but a
+        # batch "users" request carries many rows — without a row cap one
+        # dispatch group could flatten to 65536+ rows, whose score tile
+        # (B × chunk, engine.py's C formula floors the chunk at 8192
+        # items) blows past the ~512 MB budget the chunking was sized
+        # for.  Oversized groups split into several engine calls of
+        # ≤ max_rows rows each; results are reassembled per request.
+        self.max_rows = max_rows
+        self.max_fold_in_items = max_fold_in_items
         self._queue: queue.Queue[_Pending] = queue.Queue()
         self._thread: threading.Thread | None = None
         self._completer: threading.Thread | None = None
@@ -132,6 +142,9 @@ class ServingDaemon:
             ratings = req.get("ratings")
             if not items or not isinstance(items, list):
                 return "fold_in needs a non-empty 'items' list"
+            if len(items) > self.max_fold_in_items:
+                return (f"'items' list too long "
+                        f"(max {self.max_fold_in_items})")
             if not isinstance(ratings, list) or len(ratings) != len(items):
                 return "'ratings' must match 'items' in length"
             n_items = self.engine.n_items
@@ -228,19 +241,23 @@ class ServingDaemon:
         for key, grp in groups.items():
             try:
                 # Dispatch only — the returned arrays are un-materialized
-                # device values (JAX async dispatch).
+                # device values (JAX async dispatch).  ``parts`` is a
+                # list of (scores, ids, n_real_rows) spans: one for
+                # fold-in, possibly several for a recommend group split
+                # at the max_rows engine-call budget.
                 if key[0] == "fold_in":
                     scores, ids = self._run_fold_in(grp, k=key[1],
                                                     iterations=key[2])
+                    parts = [(scores, ids, len(grp))]
                 else:
-                    scores, ids = self._run_recommend(grp, k=key[1])
+                    parts = self._run_recommend(grp, k=key[1])
             except Exception as e:  # noqa: BLE001 — fail the group, not the daemon
                 self._fail(grp, e)
             else:
                 if completions is not None:
-                    completions.put((grp, scores, ids))
+                    completions.put((grp, parts))
                 else:
-                    self._finish(grp, scores, ids)
+                    self._finish(grp, parts)
             with self._stats_lock:
                 self.n_batches += 1
                 self.n_batched_requests += len(grp)
@@ -253,11 +270,15 @@ class ServingDaemon:
                 p.future.set_result(
                     {"id": p.req.get("id"), "error": repr(e)})
 
-    def _finish(self, grp: list[_Pending], scores, ids) -> None:
-        """Materialize one dispatched group's results and resolve futures."""
+    def _finish(self, grp: list[_Pending], parts) -> None:
+        """Materialize one dispatched group's result spans and resolve
+        futures.  ``parts``: list of (scores, ids, n_real_rows); padded
+        surplus rows are trimmed before the spans are joined."""
         try:
-            scores = np.asarray(scores)
-            ids = np.asarray(ids)
+            scores = np.concatenate(
+                [np.asarray(s)[:n] for s, _, n in parts])
+            ids = np.concatenate(
+                [np.asarray(i)[:n] for _, i, n in parts])
         except Exception as e:  # noqa: BLE001
             self._fail(grp, e)
             return
@@ -314,18 +335,27 @@ class ServingDaemon:
                 flat.extend(us)
             else:
                 flat.append(p.req["user"])
-        uids = np.asarray(flat, np.int64)
-        if self.train_csr is not None:
-            return self.engine.recommend_known_padded(
-                uids, self.train_csr, k=k)
-        # No train CSR loaded: nothing to filter, score the raw rows
-        # (host gather from the engine's numpy P, host pow2 padding).
-        pp, ubp = self.engine._pad_rows(self.engine.P[uids],
-                                        self.engine.user_bias[uids])
-        Bp = pp.shape[0]
-        return self.engine.recommend_padded(
-            pp, ubp, np.zeros((Bp, 1), np.int32),
-            np.zeros((Bp, 1), bool), k=k)
+        # Split at the engine-call row budget (a request may straddle
+        # spans; _finish reassembles by row position).  Each call's score
+        # tile is then bounded by (max_rows, C) regardless of how many
+        # rows one client packed into a single "users" request.
+        parts = []
+        for s in range(0, len(flat), self.max_rows):
+            uids = np.asarray(flat[s:s + self.max_rows], np.int64)
+            if self.train_csr is not None:
+                scores, ids = self.engine.recommend_known_padded(
+                    uids, self.train_csr, k=k)
+            else:
+                # No train CSR loaded: nothing to filter, score the raw
+                # rows (host gather from the engine's numpy P).
+                pp, ubp = self.engine._pad_rows(self.engine.P[uids],
+                                                self.engine.user_bias[uids])
+                Bp = pp.shape[0]
+                scores, ids = self.engine.recommend_padded(
+                    pp, ubp, np.zeros((Bp, 1), np.int32),
+                    np.zeros((Bp, 1), bool), k=k)
+            parts.append((scores, ids, len(uids)))
+        return parts
 
     # -- lifecycle ---------------------------------------------------------
     def warm(self, max_batch: int | None = None, max_width: int = 32,

@@ -53,7 +53,11 @@ class ShardedServingEngine:
     """Long-lived serving state over an item-sharded mesh."""
 
     def __init__(self, model: MFModel, mesh: Mesh | None = None,
-                 devices=None):
+                 devices=None, chunk_items: int | None = None):
+        # ``chunk_items`` overrides the auto-sized catalog chunk width C
+        # in the scoring scan (testing/tuning knob; must be >= any k
+        # served).  None → the ~512 MB-tile formula in _recommend_program.
+        self.chunk_items = chunk_items
         if mesh is None:
             devices = np.asarray(devices if devices is not None
                                  else jax.devices())
@@ -84,11 +88,12 @@ class ShardedServingEngine:
 
     # -- recommendation ---------------------------------------------------
     def _recommend_program(self, B: int, R: int, k: int):
-        key = ("rec", B, R, k)
+        key = ("rec", B, R, k, self.chunk_items)
         if key in self._programs:
             return self._programs[key]
         F, n_real = self.F, self.n_items
         mesh = self.mesh
+        chunk_override = self.chunk_items
 
         def body(p_rows, ub_rows, T_i_l, rated, rmask):
             ip = jax.lax.axis_index("ip")
@@ -104,7 +109,10 @@ class ShardedServingEngine:
             # regardless of batch size.  Single-chunk catalogs reduce to
             # the original one-pass program.
             C = min(I_loc,
-                    max(8192, (128 << 20) // max(B, 1) // 128 * 128))
+                    max(k,  # keep k_loc == k when the override is tiny
+                        chunk_override if chunk_override
+                        else max(8192,
+                                 (128 << 20) // max(B, 1) // 128 * 128)))
             n_chunks = -(-I_loc // C)
             k_loc = min(k, C)
             pr = p_rows.astype(jnp.float32)

@@ -56,14 +56,17 @@ def load_item_components(q_path: str, item_bias_path: str,
 
 def save_checkpoint(path: str, model: MFModel, cfg: Config,
                     extra: dict | None = None) -> str:
+    import os
+
     import jax
     if jax.process_count() > 1:
         # Multi-process mesh: the tables are globally sharded (each
         # process holds only its addressable shards), so materialize the
         # full arrays on every process before the numpy conversion —
-        # np.asarray on a non-fully-addressable array raises.  Every
-        # process writes (same bytes); callers on a shared filesystem
-        # may restrict to process_index()==0.
+        # np.asarray on a non-fully-addressable array raises.  The
+        # allgather is a collective EVERY process must enter; only
+        # process 0 then writes (concurrent same-path writers would
+        # leave a torn-file window on a shared filesystem).
         from jax.experimental import multihost_utils as mhu
         model = MFModel(
             P=mhu.process_allgather(model.P, tiled=True),
@@ -75,11 +78,24 @@ def save_checkpoint(path: str, model: MFModel, cfg: Config,
             # to a scalar.
             global_bias=np.float32(model.global_bias),
         )
-    comps = model_to_numpy(model)
-    meta = {"config": dataclasses.asdict(cfg), "extra": extra or {}}
-    np.savez_compressed(path, meta=np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8), **comps)
-    return path if path.endswith(".npz") else path + ".npz"
+    final = path if path.endswith(".npz") else path + ".npz"
+    if jax.process_index() == 0:
+        comps = model_to_numpy(model)
+        meta = {"config": dataclasses.asdict(cfg), "extra": extra or {}}
+        # Write-then-rename: a concurrent reader (or a crash mid-write)
+        # sees either the previous complete checkpoint or the new one,
+        # never a truncated file.
+        tmp = f"{final}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, meta=np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8), **comps)
+        os.replace(tmp, final)
+    if jax.process_count() > 1:
+        # Resume paths load the file immediately after saving (tests do);
+        # don't let rank>0 race ahead of rank 0's rename.
+        from jax.experimental import multihost_utils as mhu
+        mhu.sync_global_devices("cu2rec_checkpoint_saved")
+    return final
 
 
 def load_checkpoint(path: str):

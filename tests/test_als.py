@@ -322,7 +322,7 @@ def test_fused_compile_failure_falls_back(toy_csr, monkeypatch):
 
     monkeypatch.setattr(als_mod, "_als_half_sweep_fused", boom)
     monkeypatch.setattr(als_mod, "_FUSED_DISABLED", set())
-    monkeypatch.setattr(als_mod, "_FUSED_DISABLED_PERSISTED", set())
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED_PERSISTED", None)
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -376,7 +376,7 @@ def test_fused_failure_is_per_signature(toy_csr, monkeypatch):
 
     monkeypatch.setattr(als_mod, "_als_half_sweep_fused", fail_full_only)
     monkeypatch.setattr(als_mod, "_FUSED_DISABLED", set())
-    monkeypatch.setattr(als_mod, "_FUSED_DISABLED_PERSISTED", set())
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED_PERSISTED", None)
     monkeypatch.setattr(als_mod, "_FUSED_GROUP_K", 1)
     want = np.asarray(als_mod.als_half_sweep(
         pm.T_u, pm.T_i, buckets, jnp.float32(3.5), 0.05, 0.05, 8,
@@ -440,3 +440,40 @@ def test_fused_verify_distinguishes_programs(toy_csr, monkeypatch):
                                0.05, 0.05, 8, solver=solver)
     # same output aval, different solver -> two distinct verified entries
     assert len(als_mod._FUSED_VERIFIED) == 2
+
+
+def test_fused_disabled_store_survives_late_enable(tmp_path, monkeypatch):
+    """ADVICE r3: a _sig_disabled call BEFORE persistence is enabled must
+    not pin the persisted mirror to an empty set — once the store path
+    appears, reads see it and a later _disable_fused merges with (not
+    clobbers) signatures persisted by earlier runs/processes."""
+    import json
+
+    import cu2rec_tpu.ops.als as als_mod
+
+    store = tmp_path / "fused_disabled.json"
+    store.write_text(json.dumps(["('earlier-run-sig',)"]))
+
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED", set())
+    monkeypatch.setattr(als_mod, "_FUSED_DISABLED_PERSISTED", None)
+    # Phase 1: persistence off (tests' default) — the early call that
+    # used to poison the cache.
+    monkeypatch.setattr(als_mod, "_disabled_store_path", lambda: None)
+    assert not als_mod._sig_disabled(("some-sig",))
+
+    # Phase 2: enable_compile_cache() has run; the store path exists.
+    monkeypatch.setattr(als_mod, "_disabled_store_path",
+                        lambda: str(store))
+    assert als_mod._sig_disabled(("earlier-run-sig",))
+
+    # Phase 3: another process appended a signature between our read and
+    # our write; _disable_fused must union, not last-writer-wins.
+    store.write_text(json.dumps(["('earlier-run-sig',)",
+                                 "('concurrent-sig',)"]))
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        als_mod._disable_fused(("new-sig",), RuntimeError("boom"))
+    persisted = set(json.loads(store.read_text()))
+    assert persisted == {"('earlier-run-sig',)", "('concurrent-sig',)",
+                         "('new-sig',)"}

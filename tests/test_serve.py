@@ -305,7 +305,7 @@ def test_serving_engine_chunked_catalog_scan_parity():
     from cu2rec_tpu.serve.engine import ShardedServingEngine
     from cu2rec_tpu.serve.recommend import recommend_users
 
-    U, I, F = 64, 20_001, 8  # I_loc=10001 per shard at ip=2 -> 2 chunks
+    U, I, F = 64, 20_001, 8
     model = init_model(U, I, F, 3.0, seed=13)
     rng = np.random.default_rng(5)
     users = rng.integers(0, U, 16).tolist()
@@ -313,8 +313,16 @@ def test_serving_engine_chunked_catalog_scan_parity():
     rmask = rng.random((16, 7)) > 0.3
     svals, srecs = recommend_users(model, users, rated, rmask, k=10)
     svals, srecs = np.asarray(svals), np.asarray(srecs)
-    for n_ip in (1, 2):
-        eng = ShardedServingEngine(model, devices=jax.devices()[:n_ip])
+    # chunk_items=3000: I_loc=20001 (ip=1) -> 7 chunks, the last clamped
+    # to overlap its predecessor (I_loc % C != 0); I_loc=10001 (ip=2) ->
+    # 4 chunks.  The auto formula floors C at 8192 so a small-B test
+    # would otherwise never hit n_chunks > 1 on one shard (round-3
+    # advisor finding) — the override forces the fori_loop merge,
+    # clamped-start masking, and running top-k through real multi-chunk
+    # traffic.
+    for n_ip, chunk in ((1, None), (1, 3000), (2, None), (2, 3000)):
+        eng = ShardedServingEngine(model, devices=jax.devices()[:n_ip],
+                                   chunk_items=chunk)
         dvals, drecs = eng.recommend(
             np.asarray(model.P)[users], np.asarray(model.user_bias)[users],
             rated, rmask, k=10)
