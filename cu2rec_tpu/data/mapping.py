@@ -1,89 +1,210 @@
 """Id mapping: arbitrary user/item ids → sequential 1-based ints.
 
-Capability parity with reference preprocessing/map_items.py: ``map_rows``
-(with ``add_missing=False`` drop-unknown mode for test sets), sort-by-user,
-and the ``userId,itemId,rating`` header output format.  Vectorized with
-NumPy instead of per-row dict lookups.
+Capability parity with reference preprocessing/map_items.py — same
+assignment rule (ids numbered from 1 in first-appearance order,
+map_items.py:40-54), same drop-unknown mode for test sets
+(``add_missing=False``, map_items.py:43-53, with the reference's skip
+messages), same sort-by-user and ``userId,itemId,rating`` header output
+(map_items.py:64-89) — but vectorized end-to-end: the per-row dict loop
+the reference (and round-3's paraphrase of it) ran through Python's csv
+module is replaced by the native mmap parser + NumPy
+unique/searchsorted, so a 100M-row Netflix raw file maps in seconds,
+not hours.
+
+Pipeline: ``parse_raw_ratings`` (native multithreaded parse, NumPy
+fallback) → ``assign_sequential`` per id column → stable argsort by
+user → ``write_mapped_csv`` (native parallel writer with a
+unique-rating string table, byte-identical to the reference's
+``str(float(r))`` formatting for exact-in-float32 ratings — every
+MovieLens/Netflix vocabulary).
 """
 
 from __future__ import annotations
 
-import csv
-
 import numpy as np
 
-from cu2rec_tpu.data.ratings import write_ratings_csv
+
+def parse_raw_ratings(filename: str, delimiter: str = ",",
+                      has_header: bool = True):
+    """Parse ``user<delim>item<delim>rating[<delim>ignored...]`` rows →
+    (users int64, items int64, ratings float) RAW id arrays (no 0-basing,
+    no max-id bookkeeping — this feeds the mapper, not the CSR builder).
+
+    Native mmap multithreaded parser when available (it reads the first
+    three fields and ignores the rest of each line, so 4-column raw
+    MovieLens files work); NumPy fallback otherwise.
+    """
+    skip = 1 if has_header else 0
+    try:
+        from cu2rec_tpu.data.native import native_read_ratings
+        return native_read_ratings(filename, ord(delimiter), skip)
+    except Exception:
+        pass
+    from cu2rec_tpu.data.ratings import _read_numpy
+    # genfromtxt splits on arbitrary whitespace when delimiter is None —
+    # the right behavior for the space-delimited Netflix layout.
+    d = None if delimiter.isspace() else delimiter
+    return _read_numpy(filename, d, skip)
 
 
-def get_sequential_info(row):
-    """Default column layout: userId, itemId, rating, <ignored...>
-    (reference map_items.py:13-18)."""
-    return int(row[0]), int(row[1]), float(row[2])
+def assign_sequential(ids, mapping: dict, add_missing: bool = True):
+    """Vectorized reference assignment rule (map_items.py:40-54).
+
+    Known ids map through ``mapping``; unknown ids are either appended to
+    it in first-appearance order starting at ``len(mapping)+1``
+    (``add_missing``) or left flagged unknown.  Returns
+    ``(mapped int64 — 0 where unknown, known bool mask)``; ``mapping`` is
+    mutated in place like the reference's dicts.
+    """
+    ids = np.asarray(ids, np.int64)
+    try:
+        from cu2rec_tpu.data.native import native_factorize
+        codes = native_factorize(ids, mapping, add_missing)
+        return codes, codes != 0
+    except Exception:
+        pass
+    mapped = np.zeros(ids.shape[0], np.int64)
+    if mapping:
+        ks = np.fromiter(mapping.keys(), np.int64, len(mapping))
+        vs = np.fromiter(mapping.values(), np.int64, len(mapping))
+        order = np.argsort(ks)
+        ks, vs = ks[order], vs[order]
+        pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+        known = ks[pos] == ids
+        mapped[known] = vs[pos[known]]
+    else:
+        known = np.zeros(ids.shape[0], bool)
+    if add_missing:
+        unk_idx = np.flatnonzero(~known)
+        if unk_idx.size:
+            sub = ids[unk_idx]
+            uniq, first = np.unique(sub, return_index=True)
+            appearance = np.argsort(first, kind="stable")
+            base = len(mapping)
+            # value for uniq[j] = base + 1 + rank of its first appearance
+            vals_by_uniq = np.empty(uniq.shape[0], np.int64)
+            vals_by_uniq[appearance] = base + 1 + np.arange(uniq.shape[0])
+            mapping.update(zip(uniq[appearance].tolist(),
+                               range(base + 1, base + 1 + uniq.shape[0])))
+            mapped[unk_idx] = vals_by_uniq[np.searchsorted(uniq, sub)]
+            known = np.ones(ids.shape[0], bool)
+    return mapped, known
 
 
-def map_rows(filename, user_mapping: dict, item_mapping: dict, delimiter=",",
-             has_header=True, get_info=get_sequential_info, add_missing=True):
-    """Map file rows through the given id dicts (mutated in place when
-    ``add_missing``); unknown ids are dropped otherwise, with a count printed
-    (reference map_items.py:21-62)."""
-    rows = []
-    missing_users = 0
-    missing_items = 0
-    with open(filename) as f:
-        reader = csv.reader(f, delimiter=delimiter)
-        if has_header:
-            next(reader, None)
-        for row in reader:
-            if not row:
-                continue
-            user_id, item_id, rating = get_info(row)
-            if user_id not in user_mapping:
-                if add_missing:
-                    user_mapping[user_id] = len(user_mapping) + 1
-                else:
-                    missing_users += 1
-                    continue
-            if item_id not in item_mapping:
-                if add_missing:
-                    item_mapping[item_id] = len(item_mapping) + 1
-                else:
-                    missing_items += 1
-                    continue
-            rows.append([user_mapping[user_id], item_mapping[item_id], rating])
+def map_file(filename: str, user_mapping: dict, item_mapping: dict,
+             delimiter: str = ",", has_header: bool = True,
+             add_missing: bool = True):
+    """Parse + map one ratings file → (users, items, ratings) arrays with
+    1-based mapped ids, in file order.
+
+    With ``add_missing=False`` unknown-user rows are dropped BEFORE the
+    item check (so items seen only on dropped rows don't count as
+    missing) and the reference's skip messages are printed
+    (map_items.py:43-58).
+    """
+    u_raw, i_raw, ratings = parse_raw_ratings(filename, delimiter,
+                                              has_header)
+    mu, u_known = assign_sequential(u_raw, user_mapping, add_missing)
+    if add_missing:
+        mi, _ = assign_sequential(i_raw, item_mapping, True)
+        return mu, mi, np.asarray(ratings)
+    missing_users = int((~u_known).sum())
+    keep = np.flatnonzero(u_known)
+    mi_sub, i_known = assign_sequential(i_raw[keep], item_mapping, False)
+    missing_items = int((~i_known).sum())
     if missing_users:
         print(f"Skipped {missing_users} rows because of missing users")
     if missing_items:
         print(f"Skipped {missing_items} rows because of missing items")
-    return rows
+    idx = keep[i_known]
+    return mu[idx], mi_sub[i_known], np.asarray(ratings)[idx]
 
 
 def map_arrays(users: np.ndarray, items: np.ndarray,
                user_mapping: dict | None = None,
                item_mapping: dict | None = None):
-    """Vectorized variant for array inputs: first-appearance order, 1-based
-    (same assignment rule as map_rows)."""
-    def seq_map(ids, mapping):
-        if mapping is None:
-            mapping = {}
-        uniq, first_pos = np.unique(ids, return_index=True)
-        for raw in ids[np.sort(first_pos)]:
-            raw = int(raw)
-            if raw not in mapping:
-                mapping[raw] = len(mapping) + 1
-        lut = {k: v for k, v in mapping.items()}
-        return np.asarray([lut[int(x)] for x in ids], dtype=np.int64), mapping
-    mapped_u, user_mapping = seq_map(users, user_mapping)
-    mapped_i, item_mapping = seq_map(items, item_mapping)
+    """Array-input variant: first-appearance order, 1-based (the same
+    assignment rule as ``map_file``)."""
+    user_mapping = {} if user_mapping is None else user_mapping
+    item_mapping = {} if item_mapping is None else item_mapping
+    mapped_u, _ = assign_sequential(users, user_mapping, True)
+    mapped_i, _ = assign_sequential(items, item_mapping, True)
     return mapped_u, mapped_i, user_mapping, item_mapping
 
 
-def sort_by_user(rows):
-    """Stable sort by mapped user id (reference map_items.py:65-77)."""
-    return sorted(rows, key=lambda r: r[0])
+def sort_by_user(users, items, ratings):
+    """Stable sort by mapped user id, preserving within-user file order
+    (reference map_items.py:65-77 built the same ordering with a dict of
+    per-user lists).  Native fused counting-sort scatter when available
+    (one parallel pass); NumPy stable argsort fallback."""
+    users = np.asarray(users, np.int64)
+    items = np.asarray(items, np.int64)
+    ratings = np.asarray(ratings)
+    if (users.shape[0] and ratings.dtype == np.float32
+            and users.min() >= 1):
+        try:
+            from cu2rec_tpu.data.native import native_sort_by_user
+            return native_sort_by_user(users, items, ratings,
+                                       int(users.max()))
+        except Exception:
+            pass
+    order = np.argsort(users, kind="stable")
+    return users[order], items[order], ratings[order]
+
+
+def write_mapped_csv(path: str, users, items, ratings) -> None:
+    """Write mapped rows with the reference header/format contract
+    (map_items.py:80-89): ``userId,itemId,rating``, ids as ints, rating
+    formatted like Python's ``str(float(r))``.
+
+    Fast path: the per-row float formatting collapses to a unique-value
+    string table (real rating vocabularies are tiny) indexed by the
+    native parallel writer; the NumPy/Python fallback produces identical
+    bytes.
+    """
+    users = np.asarray(users, np.int64)
+    items = np.asarray(items, np.int64)
+    ratings = np.asarray(ratings)
+    if users.shape[0] == 0:
+        with open(path, "w", newline="") as f:
+            f.write("userId,itemId,rating\n")
+        return
+    # Factorize ratings into a tiny value vocabulary.  np.unique's
+    # return_inverse is a full stable argsort of the 100M-row column; the
+    # native hash factorizer does it in one O(n) pass over the float bit
+    # patterns (bit-equal values <=> equal floats; NaNs don't occur in
+    # rating data and distinct NaN payloads would only duplicate a table
+    # entry, never corrupt a row).
+    inv = None
+    if ratings.dtype == np.float32:
+        try:
+            from cu2rec_tpu.data.native import native_factorize
+            vocab: dict = {}
+            inv = native_factorize(
+                ratings.view(np.int32).astype(np.int64), vocab, True) - 1
+            uniq = (np.fromiter(vocab.keys(), np.int64, len(vocab))
+                    .astype(np.int32).view(np.float32))
+        except Exception:
+            inv = None
+    if inv is None:
+        uniq = np.unique(ratings)
+        inv = np.searchsorted(uniq, ratings)
+    table = [str(float(v)) for v in uniq.tolist()]
+    try:
+        from cu2rec_tpu.data.native import native_write_ratings_mapped
+        native_write_ratings_mapped(path, users, items, inv, table)
+        return
+    except Exception:
+        pass
+    from cu2rec_tpu.data.ratings import write_ratings_csv
+    tbl = np.asarray(table, dtype=object)
+    write_ratings_csv(path, zip(users.tolist(), items.tolist(),
+                                tbl[inv].tolist()))
 
 
 def process_file(filename_in: str, filename_out: str) -> None:
+    """The map_items.py CLI journey: map, sort by user, write."""
     user_mapping: dict = {}
     item_mapping: dict = {}
-    rows = sort_by_user(map_rows(filename_in, user_mapping, item_mapping))
-    write_ratings_csv(filename_out, rows)
+    mu, mi, r = map_file(filename_in, user_mapping, item_mapping)
+    write_mapped_csv(filename_out, *sort_by_user(mu, mi, r))

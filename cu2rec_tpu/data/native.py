@@ -79,6 +79,28 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_char_p,
         ]
+        lib.cu2rec_write_ratings_mapped.restype = ctypes.c_int
+        lib.cu2rec_write_ratings_mapped.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ]
+        lib.cu2rec_factorize.restype = ctypes.c_int64
+        lib.cu2rec_factorize.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.cu2rec_sort_ratings_by_user.restype = ctypes.c_int
+        lib.cu2rec_sort_ratings_by_user.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.cu2rec_write_matrix.restype = ctypes.c_int
         lib.cu2rec_write_matrix.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
@@ -151,6 +173,97 @@ def native_write_ratings(path: str, users: np.ndarray, items: np.ndarray,
         header.encode() if header else b"")
     if rc != 0:
         raise OSError(f"native_write_ratings failed for {path}")
+
+
+def native_write_ratings_mapped(path: str, users: np.ndarray,
+                                items: np.ndarray, vidx: np.ndarray,
+                                table: list[str],
+                                header: str = "userId,itemId,rating") -> None:
+    """Parallel mapped-ratings writer: ids written AS GIVEN (1-based mapped
+    ids), ratings via a preformatted string table indexed per row — the
+    byte-exact fast path for the vectorized id mapper.
+
+    Raises if the native library is unavailable (caller falls back).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    n = users.shape[0]
+    users = np.ascontiguousarray(users, dtype=np.int64)
+    items = np.ascontiguousarray(items, dtype=np.int64)
+    vidx = np.ascontiguousarray(vidx, dtype=np.int64)
+    tarr = np.asarray([t.encode() for t in table], dtype="S")
+    stride = tarr.dtype.itemsize
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.cu2rec_write_ratings_mapped(
+        path.encode(), users.ctypes.data_as(i64p),
+        items.ctypes.data_as(i64p), vidx.ctypes.data_as(i64p),
+        tarr.ctypes.data_as(ctypes.c_char_p), stride, len(table), n,
+        header.encode() if header else b"")
+    if rc != 0:
+        raise OSError(f"native_write_ratings_mapped failed for {path}")
+
+
+def native_factorize(ids: np.ndarray, mapping: dict, add_missing: bool):
+    """Single-pass hash factorization with the reference's first-appearance
+    assignment rule (map_items.py:40-54): returns ``codes`` (int64 mapped
+    values, 0 where unknown and not added) and mutates ``mapping`` like the
+    reference's dict.
+
+    Raises if the native library is unavailable (caller falls back to the
+    NumPy unique/searchsorted path).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    n = ids.shape[0]
+    nk = len(mapping)
+    ex_keys = np.fromiter(mapping.keys(), np.int64, nk)
+    ex_vals = np.fromiter(mapping.values(), np.int64, nk)
+    codes = np.empty(n, dtype=np.int64)
+    new_keys = np.empty(n if add_missing else 0, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n_new = lib.cu2rec_factorize(
+        ids.ctypes.data_as(i64p), n,
+        ex_keys.ctypes.data_as(i64p), ex_vals.ctypes.data_as(i64p),
+        nk, nk + 1, 1 if add_missing else 0,
+        codes.ctypes.data_as(i64p), new_keys.ctypes.data_as(i64p),
+        new_keys.shape[0])
+    if n_new < 0:
+        raise ValueError("native_factorize failed (id == INT64_MIN?)")
+    if n_new:
+        mapping.update(zip(new_keys[:n_new].tolist(),
+                           range(nk + 1, nk + 1 + int(n_new))))
+    return codes
+
+
+def native_sort_by_user(users: np.ndarray, items: np.ndarray,
+                        ratings: np.ndarray, n_users: int):
+    """Fused stable counting-sort of (users, items, ratings) by 1-based
+    mapped user id — one parallel scatter pass instead of argsort + three
+    gathers.  Raises if the library is unavailable or ids out of range.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    n = users.shape[0]
+    users = np.ascontiguousarray(users, dtype=np.int64)
+    items = np.ascontiguousarray(items, dtype=np.int64)
+    ratings = np.ascontiguousarray(ratings, dtype=np.float32)
+    out_u = np.empty(n, dtype=np.int64)
+    out_i = np.empty(n, dtype=np.int64)
+    out_r = np.empty(n, dtype=np.float32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.cu2rec_sort_ratings_by_user(
+        users.ctypes.data_as(i64p), items.ctypes.data_as(i64p),
+        ratings.ctypes.data_as(f32p), n, n_users,
+        out_u.ctypes.data_as(i64p), out_i.ctypes.data_as(i64p),
+        out_r.ctypes.data_as(f32p))
+    if rc != 0:
+        raise ValueError("user id out of range in native_sort_by_user")
+    return out_u, out_i, out_r
 
 
 def native_write_matrix(path: str, data: np.ndarray, rows: int,

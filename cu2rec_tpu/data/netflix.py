@@ -1,18 +1,14 @@
 """Netflix-prize format mapping (reference preprocessing/map_netflix.py).
 
-Netflix training files are space-delimited, headerless, with the rating in
-column 3 (0-indexed: 2); test rows referencing unseen users/items are
-dropped via ``add_missing=False`` (map_netflix.py:9-28).
+Netflix training files are space-delimited, headerless, with the rating
+in column 3; test rows referencing unseen users/items are dropped via
+``add_missing=False`` (map_netflix.py:9-28).  Rides the vectorized
+mapper (data/mapping.py) end-to-end.
 """
 
 from __future__ import annotations
 
-from cu2rec_tpu.data.mapping import map_rows, sort_by_user
-from cu2rec_tpu.data.ratings import write_ratings_csv
-
-
-def get_netflix_info(row):
-    return int(row[0]), int(row[1]), float(row[2])
+from cu2rec_tpu.data.mapping import map_file, sort_by_user, write_mapped_csv
 
 
 def process_netflix(train_in: str, train_out: str,
@@ -20,12 +16,12 @@ def process_netflix(train_in: str, train_out: str,
                     delimiter: str = " ") -> None:
     user_mapping: dict = {}
     item_mapping: dict = {}
-    rows = sort_by_user(map_rows(
-        train_in, user_mapping, item_mapping, delimiter=delimiter,
-        has_header=False, get_info=get_netflix_info, add_missing=True))
-    write_ratings_csv(train_out, rows)
+    mu, mi, r = map_file(train_in, user_mapping, item_mapping,
+                         delimiter=delimiter, has_header=False,
+                         add_missing=True)
+    write_mapped_csv(train_out, *sort_by_user(mu, mi, r))
     if test_in and test_out:
-        rows = sort_by_user(map_rows(
-            test_in, user_mapping, item_mapping, delimiter=delimiter,
-            has_header=False, get_info=get_netflix_info, add_missing=False))
-        write_ratings_csv(test_out, rows)
+        mu, mi, r = map_file(test_in, user_mapping, item_mapping,
+                             delimiter=delimiter, has_header=False,
+                             add_missing=False)
+        write_mapped_csv(test_out, *sort_by_user(mu, mi, r))

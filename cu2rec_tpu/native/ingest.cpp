@@ -374,6 +374,262 @@ int cu2rec_write_matrix(const char* path, const float* data, int64_t rows,
     return rc;
 }
 
+// Writer variant for the id-mapper (preprocessing/map_items.py:80-89
+// contract): ids are written AS GIVEN (the caller passes 1-based mapped
+// ids), and the rating column is an index into a table of preformatted
+// value strings — real datasets have a tiny rating vocabulary (10 values
+// for MovieLens halves, 5 for Netflix), so the file reproduces Python's
+// str(float(r)) byte-for-byte without any per-row float formatting.
+// table: n_vals entries of `stride` bytes each, NUL-padded (numpy 'S'
+// array); vidx: per-row int64 index into the table.
+namespace {
+
+// Minimal unsigned itoa (mapped ids are always positive): ~5x faster than
+// snprintf, which dominated the write stage at 100M rows.
+inline char* format_u64(char* p, uint64_t v) {
+    char tmp[20];
+    int k = 0;
+    do { tmp[k++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+}  // namespace
+
+int cu2rec_write_ratings_mapped(const char* path, const int64_t* users,
+                                const int64_t* items, const int64_t* vidx,
+                                const char* table, int64_t stride,
+                                int64_t n_vals, int64_t n,
+                                const char* header) {
+    if (stride <= 0 || n_vals <= 0) return -1;
+    for (int64_t i = 0; i < n; ++i)
+        if (vidx[i] < 0 || vidx[i] >= n_vals) return -1;
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    if (header && header[0]) {
+        fputs(header, f);
+        fputc('\n', f);
+    }
+    std::vector<size_t> vlen((size_t)n_vals);
+    for (int64_t v = 0; v < n_vals; ++v)
+        vlen[(size_t)v] = strnlen(table + v * stride, (size_t)stride);
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? hw : 4;
+    const int64_t block_rows = 4 << 20;
+    std::vector<std::string> bufs(n_threads);
+    int rc = 0;
+    for (int64_t wave = 0; wave < n && rc == 0;
+         wave += block_rows * (int64_t)n_threads) {
+        auto worker = [&](size_t t) {
+            std::string& out = bufs[t];
+            out.clear();
+            int64_t lo = wave + (int64_t)t * block_rows;
+            int64_t hi = std::min(lo + block_rows, n);
+            if (lo >= hi) return;
+            out.reserve((size_t)(hi - lo) * 20);
+            char line[64];
+            for (int64_t i = lo; i < hi; ++i) {
+                char* p = format_u64(line, (uint64_t)users[i]);
+                *p++ = ',';
+                p = format_u64(p, (uint64_t)items[i]);
+                *p++ = ',';
+                out.append(line, (size_t)(p - line));
+                out.append(table + vidx[i] * stride,
+                           vlen[(size_t)vidx[i]]);
+                out.push_back('\n');
+            }
+        };
+        std::vector<std::thread> workers;
+        for (size_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
+        worker(0);
+        for (auto& w : workers) w.join();
+        for (auto& b : bufs)
+            if (b.size() && fwrite(b.data(), 1, b.size(), f) != b.size())
+                rc = -1;
+    }
+    if (fclose(f) != 0) rc = -1;
+    return rc;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// First-appearance id factorization + fused sort-by-user: the two host
+// stages of the id-mapping journey (reference preprocessing/map_items.py
+// assignment rule :40-54 and sort :64-77) that NumPy can only express as
+// O(n log n) sorts of the full 100M-row column.  Here: a single-pass
+// open-addressing hash (O(n)) and a stable counting-sort scatter.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint64_t splitmix64(uint64_t x) {
+    x += 0x9e3779b97f4a7c15ull;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+    return x ^ (x >> 31);
+}
+
+// Open-addressing int64→int64 map, linear probing, 16-byte entries so a
+// probe costs one cache line.  Empty slot sentinel: key == INT64_MIN
+// (callers reject that id value up front).
+struct I64Map {
+    struct Entry { int64_t k, v; };
+    std::vector<Entry> slots;
+    size_t mask = 0;
+    size_t filled = 0;
+    static constexpr int64_t kEmpty = INT64_MIN;
+
+    explicit I64Map(size_t expect) {
+        size_t cap = 1024;
+        while (cap * 5 < expect * 8) cap <<= 1;  // keep load < 62.5%
+        slots.assign(cap, {kEmpty, 0});
+        mask = cap - 1;
+    }
+    void grow() {
+        std::vector<Entry> old;
+        old.swap(slots);
+        slots.assign(old.size() * 2, {kEmpty, 0});
+        mask = slots.size() - 1;
+        for (const Entry& e : old)
+            if (e.k != kEmpty) {
+                size_t h = splitmix64((uint64_t)e.k) & mask;
+                while (slots[h].k != kEmpty) h = (h + 1) & mask;
+                slots[h] = e;
+            }
+    }
+    // Returns slot index of key (existing or freshly claimed with val=-1
+    // when insert); claimed slots must be assigned by the caller.
+    inline int64_t* find(int64_t key) {
+        size_t h = splitmix64((uint64_t)key) & mask;
+        for (;;) {
+            if (slots[h].k == key) return &slots[h].v;
+            if (slots[h].k == kEmpty) return nullptr;
+            h = (h + 1) & mask;
+        }
+    }
+    inline int64_t* insert(int64_t key, int64_t val, bool* fresh) {
+        if ((filled + 1) * 8 >= slots.size() * 5) grow();
+        size_t h = splitmix64((uint64_t)key) & mask;
+        for (;;) {
+            if (slots[h].k == key) { *fresh = false; return &slots[h].v; }
+            if (slots[h].k == kEmpty) {
+                slots[h] = {key, val};
+                ++filled;
+                *fresh = true;
+                return &slots[h].v;
+            }
+            h = (h + 1) & mask;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// First-appearance factorization (the reference's dict rule, map_items.py
+// :40-54): codes[i] = mapped value of ids[i].  The pre-existing mapping is
+// passed as (ex_keys, ex_vals, nk); new ids are assigned next_val,
+// next_val+1, ... in first-appearance order and their RAW keys are
+// appended to new_keys (capacity uniq_cap).  With add_missing=0 unknown
+// ids get code 0 and are not added.  Returns the count of new ids, or -1
+// on error (id == INT64_MIN, or more than uniq_cap new ids).
+int64_t cu2rec_factorize(const int64_t* ids, int64_t n,
+                         const int64_t* ex_keys, const int64_t* ex_vals,
+                         int64_t nk, int64_t next_val, int add_missing,
+                         int64_t* codes, int64_t* new_keys,
+                         int64_t uniq_cap) {
+    I64Map map((size_t)nk + (size_t)std::min<int64_t>(n, 1 << 20));
+    for (int64_t j = 0; j < nk; ++j) {
+        if (ex_keys[j] == I64Map::kEmpty) return -1;
+        bool fresh;
+        map.insert(ex_keys[j], ex_vals[j], &fresh);
+    }
+    int64_t n_new = 0;
+    if (add_missing) {
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t id = ids[i];
+            if (id == I64Map::kEmpty) return -1;
+            bool fresh;
+            int64_t* v = map.insert(id, next_val + n_new, &fresh);
+            if (fresh) {
+                if (n_new >= uniq_cap) return -1;
+                new_keys[n_new++] = id;
+            }
+            codes[i] = *v;
+        }
+    } else {
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t id = ids[i];
+            if (id == I64Map::kEmpty) return -1;
+            int64_t* v = map.find(id);
+            codes[i] = v ? *v : 0;
+        }
+    }
+    return n_new;
+}
+
+// Fused stable sort-by-user: scatter (users, items, ratings) rows into
+// user-sorted order in ONE parallel pass (stable — within-user file order
+// preserved, matching the reference's per-user list append,
+// map_items.py:65-77).  users are 1-based mapped ids in [1, n_users].
+// Returns 0 on success, -1 if any user id is out of range.
+int cu2rec_sort_ratings_by_user(const int64_t* users, const int64_t* items,
+                                const float* ratings, int64_t n,
+                                int64_t n_users, int64_t* out_u,
+                                int64_t* out_i, float* out_r) {
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? hw : 4;
+    if (n < (int64_t)(1 << 16)) n_threads = 1;
+    // Per-thread per-user counts → exclusive prefix = each thread's
+    // starting cursor per user, preserving (thread block, file order)
+    // stability.
+    std::vector<std::vector<int64_t>> counts(
+        n_threads, std::vector<int64_t>((size_t)n_users, 0));
+    std::vector<int64_t> bounds(n_threads + 1);
+    for (size_t t = 0; t <= n_threads; ++t)
+        bounds[t] = (int64_t)((__int128)n * t / n_threads);
+    std::atomic<int> bad(0);
+    auto count_worker = [&](size_t t) {
+        std::vector<int64_t>& c = counts[t];
+        for (int64_t i = bounds[t]; i < bounds[t + 1]; ++i) {
+            int64_t u = users[i] - 1;
+            if (u < 0 || u >= n_users) { bad.store(1); return; }
+            ++c[(size_t)u];
+        }
+    };
+    std::vector<std::thread> workers;
+    for (size_t t = 1; t < n_threads; ++t)
+        workers.emplace_back(count_worker, t);
+    count_worker(0);
+    for (auto& w : workers) w.join();
+    workers.clear();
+    if (bad.load()) return -1;
+    // cursor[t][u] = global start of thread t's run of user u.
+    int64_t run = 0;
+    for (int64_t u = 0; u < n_users; ++u)
+        for (size_t t = 0; t < n_threads; ++t) {
+            int64_t c = counts[t][(size_t)u];
+            counts[t][(size_t)u] = run;
+            run += c;
+        }
+    auto scatter_worker = [&](size_t t) {
+        std::vector<int64_t>& cursor = counts[t];
+        for (int64_t i = bounds[t]; i < bounds[t + 1]; ++i) {
+            int64_t dst = cursor[(size_t)(users[i] - 1)]++;
+            out_u[dst] = users[i];
+            out_i[dst] = items[i];
+            out_r[dst] = ratings[i];
+        }
+    };
+    for (size_t t = 1; t < n_threads; ++t)
+        workers.emplace_back(scatter_worker, t);
+    scatter_worker(0);
+    for (auto& w : workers) w.join();
+    return 0;
+}
+
 }  // extern "C"
 
 namespace {

@@ -289,3 +289,129 @@ def test_native_matrix_writer_multiwave(tmp_path):
         expect = np.array([float(f"{v:f}") for v in m[probe]], np.float32)
         np.testing.assert_array_equal(flat[probe * n_cols:(probe + 1) * n_cols],
                                       expect)
+
+
+# -- vectorized id mapper (data/mapping.py, round-4 rewrite) ------------------
+
+def _reference_map(rows, user_mapping, item_mapping, add_missing=True):
+    """The reference's per-row dict algorithm (map_items.py:21-62),
+    kept ONLY here as the oracle the vectorized mapper must match."""
+    out = []
+    missing_u = missing_i = 0
+    for u, i, r in rows:
+        if u not in user_mapping:
+            if add_missing:
+                user_mapping[u] = len(user_mapping) + 1
+            else:
+                missing_u += 1
+                continue
+        if i not in item_mapping:
+            if add_missing:
+                item_mapping[i] = len(item_mapping) + 1
+            else:
+                missing_i += 1
+                continue
+        out.append([user_mapping[u], item_mapping[i], r])
+    return out, missing_u, missing_i
+
+
+def test_mapper_matches_reference_oracle(tmp_path):
+    """Vectorized assign/drop semantics == the reference per-row loop,
+    including first-appearance numbering, pre-existing mappings, and the
+    drop-before-item-check ordering for unknown users."""
+    from cu2rec_tpu.data.mapping import map_file
+
+    rng = np.random.default_rng(3)
+    rows = [(int(u), int(i), float(r)) for u, i, r in
+            zip(rng.integers(1, 60, 500) * 7,
+                rng.integers(1, 40, 500) * 3,
+                rng.integers(1, 11, 500) / 2.0)]
+    raw = tmp_path / "raw.csv"
+    raw.write_text("userId,itemId,rating\n" +
+                   "".join(f"{u},{i},{r}\n" for u, i, r in rows))
+
+    # Fresh mappings, add_missing=True.
+    um_ref, im_ref = {}, {}
+    want, _, _ = _reference_map(rows, um_ref, im_ref)
+    um, im = {}, {}
+    mu, mi, r = map_file(str(raw), um, im)
+    got = list(zip(mu.tolist(), mi.tolist(), r.tolist()))
+    assert got == [tuple(w) for w in want]
+    assert um == um_ref and im == im_ref
+
+    # Second file through the SAME mappings with add_missing=False:
+    # unknown users drop the row before the item check.
+    rows2 = [(rows[0][0], 999999, 1.0),     # known user, unknown item
+             (888888, 999999, 2.0),         # unknown user (item unseen)
+             (rows[1][0], rows[1][1], 3.0)]  # fully known
+    raw2 = tmp_path / "raw2.csv"
+    raw2.write_text("userId,itemId,rating\n" +
+                    "".join(f"{u},{i},{r}\n" for u, i, r in rows2))
+    want2, mu_ref2, mi_ref2 = _reference_map(rows2, dict(um_ref),
+                                             dict(im_ref),
+                                             add_missing=False)
+    mu2, mi2, r2 = map_file(str(raw2), um, im, add_missing=False)
+    got2 = list(zip(mu2.tolist(), mi2.tolist(), r2.tolist()))
+    assert got2 == [tuple(w) for w in want2]
+    assert (mu_ref2, mi_ref2) == (1, 1)
+    # 999999 must NOT have entered item_mapping (row dropped, no add).
+    assert 999999 not in im and 888888 not in um
+
+
+def test_mapper_output_byte_identical_fixture(tmp_path):
+    """process_file output == the exact bytes the reference algorithm +
+    writer contract produce (str(float(r)) values, sorted by user,
+    within-user file order preserved)."""
+    from cu2rec_tpu.data.mapping import process_file
+
+    raw = tmp_path / "raw.csv"
+    raw.write_text("userId,itemId,rating\n"
+                   "900,7,4.0\n900,9,3.0\n5,7,5.0\n5,2,1.0\n77,9,2.0\n"
+                   "900,2,4.5\n")
+    out = tmp_path / "mapped.csv"
+    process_file(str(raw), str(out))
+    assert out.read_bytes() == (
+        b"userId,itemId,rating\n"
+        b"1,1,4.0\n1,2,3.0\n1,3,4.5\n"   # user 900 -> 1, file order kept
+        b"2,1,5.0\n2,3,1.0\n"            # user 5 -> 2 (item 2 -> 3)
+        b"3,2,2.0\n")                     # user 77 -> 3
+
+
+def test_mapped_writer_native_matches_python(tmp_path):
+    """The native table-indexed writer and the Python fallback emit
+    identical bytes (both must match str(float(r)) formatting)."""
+    from cu2rec_tpu.data.mapping import write_mapped_csv
+    from cu2rec_tpu.data.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    users = np.asarray([1, 1, 2, 3], np.int64)
+    items = np.asarray([4, 2, 1, 9], np.int64)
+    ratings = np.asarray([4.0, 3.5, 0.5, 5.0], np.float32)
+    a, b = tmp_path / "native.csv", tmp_path / "python.csv"
+    write_mapped_csv(str(a), users, items, ratings)
+
+    import unittest.mock as mock
+    with mock.patch("cu2rec_tpu.data.native.native_write_ratings_mapped",
+                    side_effect=RuntimeError("forced fallback")):
+        write_mapped_csv(str(b), users, items, ratings)
+    assert a.read_bytes() == b.read_bytes()
+    assert a.read_text().splitlines()[1] == "1,4,4.0"
+
+
+def test_netflix_mapping_flow(tmp_path, capsys):
+    from cu2rec_tpu.data.netflix import process_netflix
+
+    train = tmp_path / "nf_train.txt"
+    train.write_text("10 5 3\n10 6 4\n20 5 5\n")
+    test = tmp_path / "nf_test.txt"
+    test.write_text("10 5 2\n30 5 1\n10 99 4\n")
+    to, vo = tmp_path / "train_m.csv", tmp_path / "test_m.csv"
+    process_netflix(str(train), str(to), str(test), str(vo))
+    assert to.read_text() == ("userId,itemId,rating\n"
+                              "1,1,3.0\n1,2,4.0\n2,1,5.0\n")
+    # test rows with unseen user 30 / item 99 are dropped, with messages
+    assert vo.read_text() == "userId,itemId,rating\n1,1,2.0\n"
+    out = capsys.readouterr().out
+    assert "Skipped 1 rows because of missing users" in out
+    assert "Skipped 1 rows because of missing items" in out
