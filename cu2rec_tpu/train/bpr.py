@@ -2,9 +2,10 @@
 
 Loop contract mirrors the other trainers (iteration-based like the SGD
 trainer, per-eval metrics via MetricsLogger, MFModel out).  Metrics are
-the implicit-task pair: sampled AUC (BPR's native objective) and
-recall@k over held-out positives; the `test_rmse` column carries
-1 − recall@k so the plateau/metrics plumbing works unchanged.
+the implicit-task triple — sampled AUC (BPR's native objective),
+recall@k and ndcg@k over held-out positives — emitted first-class via
+``log_eval_implicit`` (schema: docs/API.md §metrics); the returned
+``losses`` dict carries the minimized ``objective`` (1 − recall@k).
 
 The returned MFModel has user_bias/global_bias zero and a trained
 item_bias, so the serving stack (recommend/top-k/engine) works as-is:
@@ -96,16 +97,14 @@ def train_bpr(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
                           max_users=recall_users)
         rec = rk["recall"]
         ups = train_csr.n_users * seg / dt_seg if dt_seg > 0 else None
-        logger.log_eval(point, train_mae=0.0, train_rmse=0.0,
-                        test_mae=1.0 - auc, test_rmse=1.0 - rec,
-                        learning_rate=cfg.learning_rate,
-                        updates_per_s=ups,
-                        extras={"auc": auc, "recall_at_k": rec,
-                                "ndcg_at_k": rk["ndcg"], "k": recall_k})
-        print(f"BPR iteration {point}: AUC = {auc:.4f}  "
-              f"recall@{recall_k} = {rec:.4f}  "
-              f"ndcg@{recall_k} = {rk['ndcg']:.4f}")
-        losses[point] = 1.0 - rec
+        objective = 1.0 - rec
+        logger.log_eval_implicit(point, algo="bpr", auc=auc,
+                                 recall_at_k=rec, ndcg_at_k=rk["ndcg"],
+                                 k=recall_k, objective=objective,
+                                 learning_rate=cfg.learning_rate,
+                                 updates_per_s=ups,
+                                 line_prefix="BPR iteration")
+        losses[point] = objective
         cfg.cur_iterations = point
 
     logger.log_time(cfg.total_iterations, time.perf_counter() - start)

@@ -97,20 +97,15 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
         m = ranking_eval(mdl, train_csr, test_csr,
                          k=recall_k, max_users=recall_users)
         rec = m["recall"]
-        # Sampled pairwise AUC against the same oracle ceiling BPR reports
-        # (meta oracle_auc of the planted generator) — packed into
-        # test_mae as 1-AUC like train/bpr.py so the loss stream shape is
-        # uniform across implicit trainers.
+        # Sampled pairwise AUC against the same oracle ceiling BPR
+        # reports (meta oracle_auc of the planted generator).
         auc = auc_eval(mdl, train_csr, test_csr, seed=cfg.seed)
-        logger.log_eval(sweep, train_mae=0.0, train_rmse=0.0,
-                        test_mae=1.0 - auc, test_rmse=1.0 - rec,
-                        learning_rate=0.0,
-                        extras={"auc": auc, "recall_at_k": rec,
-                                "ndcg_at_k": m["ndcg"], "k": recall_k})
-        print(f"IALS sweep {sweep}: AUC = {auc:.4f}  "
-              f"recall@{recall_k} = {rec:.4f} "
-              f"ndcg@{recall_k} = {m['ndcg']:.4f}")
-        losses[sweep] = 1.0 - rec
+        objective = 1.0 - rec
+        logger.log_eval_implicit(sweep, algo="ials", auc=auc,
+                                 recall_at_k=rec, ndcg_at_k=m["ndcg"],
+                                 k=recall_k, objective=objective,
+                                 line_prefix="IALS sweep")
+        losses[sweep] = objective
         cfg.cur_iterations += 1
 
     fetch_barrier(X)

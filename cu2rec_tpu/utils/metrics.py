@@ -53,6 +53,34 @@ class MetricsLogger:
             rec.update(extras)
         self._emit(rec)
 
+    def log_eval_implicit(self, iteration: int, *, algo: str, auc: float,
+                          recall_at_k: float, ndcg_at_k: float, k: int,
+                          objective: float | None = None,
+                          learning_rate: float = 0.0,
+                          updates_per_s: float | None = None,
+                          line_prefix: str | None = None) -> None:
+        """Implicit-task eval record with first-class ranking columns —
+        no aliasing into the rating-task mae/rmse schema (the r3 scheme
+        of packing ``1-auc``/``1-recall`` into test_mae/test_rmse is
+        gone).  ``objective`` is the minimized scalar that plateau /
+        convergence logic keys off; it defaults to ``1 - recall@k``, the
+        value the trainers also return in their ``losses`` dict.  Schema
+        documented in docs/API.md §metrics."""
+        if objective is None:
+            objective = 1.0 - recall_at_k
+        if self.verbose:
+            prefix = line_prefix or f"{algo.upper()} iteration"
+            print(f"{prefix} {iteration}: AUC = {auc:.4f}  "
+                  f"recall@{k} = {recall_at_k:.4f}  "
+                  f"ndcg@{k} = {ndcg_at_k:.4f}")
+            sys.stdout.flush()
+        self._emit({"event": "eval", "task": "implicit", "algo": algo,
+                    "iteration": iteration, "objective": float(objective),
+                    "auc": float(auc), "recall_at_k": float(recall_at_k),
+                    "ndcg_at_k": float(ndcg_at_k), "k": int(k),
+                    "learning_rate": learning_rate,
+                    "updates_per_s": updates_per_s})
+
     def log_lr_decay(self, new_lr: float) -> None:
         if self.verbose:
             # training.cu:154

@@ -139,13 +139,12 @@ def main() -> int:
                    gen_s=round(t_gen, 1), split_s=round(t_split, 1),
                    train_wall_s=round(t_train, 1))
     if args.algo in ("bpr", "ials") and last:
-        # Implicit trainers emit auc/recall_at_k/ndcg_at_k columns (and
-        # pack 1-AUC / 1-recall@k into the mae/rmse stream for the loss
-        # plumbing; train/bpr.py, train/ials.py).
-        summary["final_auc"] = last.get("auc", 1.0 - last["test_mae"])
-        summary["final_recall_at_k"] = last.get("recall_at_k",
-                                                1.0 - last["test_rmse"])
-        summary["final_ndcg_at_k"] = last.get("ndcg_at_k")
+        # Implicit trainers emit first-class auc/recall_at_k/ndcg_at_k/
+        # objective columns (docs/API.md §metrics) — no mae/rmse aliasing.
+        summary["final_auc"] = last["auc"]
+        summary["final_recall_at_k"] = last["recall_at_k"]
+        summary["final_ndcg_at_k"] = last["ndcg_at_k"]
+        summary["final_objective"] = last["objective"]
         summary["oracle_auc"] = meta.get("oracle_auc")
     with open(jsonl, "a") as f:
         f.write(json.dumps(summary) + "\n")

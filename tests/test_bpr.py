@@ -276,3 +276,29 @@ def test_resume_skips_completed_work(toy_csr):
     _, losses = train_ials(toy_csr, toy_csr, cfg,
                            logger=MetricsLogger(verbose=False))
     assert losses == {}
+
+
+def test_implicit_metrics_schema(toy_csr):
+    """Implicit trainers emit first-class auc/recall_at_k/ndcg_at_k and
+    an explicit minimized `objective` — NO aliasing into the rating-task
+    test_mae/test_rmse columns (docs/API.md §metrics; VERDICT r3 item 5)."""
+    from cu2rec_tpu.train.bpr import train_bpr
+    from cu2rec_tpu.train.ials import train_ials
+
+    for fn, algo, kw in ((train_bpr, "bpr", {}),
+                         (train_ials, "ials", {"alpha": 5.0})):
+        logger = MetricsLogger(verbose=False)
+        cfg = Config(total_iterations=2, check_error=1, n_factors=4,
+                     learning_rate=0.05)
+        _, losses = fn(toy_csr, toy_csr, cfg, logger=logger, **kw)
+        evals = [r for r in logger.history if r.get("event") == "eval"]
+        assert evals, algo
+        for r in evals:
+            assert r["task"] == "implicit" and r["algo"] == algo
+            for col in ("objective", "auc", "recall_at_k", "ndcg_at_k",
+                        "k"):
+                assert col in r, (algo, col)
+            assert "test_rmse" not in r and "test_mae" not in r
+            assert r["objective"] == 1.0 - r["recall_at_k"]
+        # The returned losses dict carries the same objective values.
+        assert losses[max(losses)] == evals[-1]["objective"]
