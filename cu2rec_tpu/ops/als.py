@@ -165,9 +165,21 @@ def _chunk_size(B: int, width: int, F1: int, budget: int,
     sharded — both prepare paths keep them replicated)."""
     chunk = max(1, min(B, budget // max(width * F1, 1)))
     if row_sharding is not None and not heavy:
-        n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
+        n_dev = _spec_devices(row_sharding)
         chunk = max(n_dev, (chunk // n_dev) * n_dev)
     return chunk
+
+
+def _spec_devices(row_sharding) -> int:
+    """Device count the row dimension splits over — spec[0] may be one
+    mesh axis name or a tuple of axes (full-mesh dp×ip sharding)."""
+    axes = row_sharding.spec[0]
+    if isinstance(axes, str):
+        axes = (axes,)
+    n = 1
+    for a in axes:
+        n *= row_sharding.mesh.shape[a]
+    return n
 
 
 def prepare_chunks(bucketed: BucketedRows, n_factors: int,

@@ -57,8 +57,15 @@ def train_als(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     row_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
-        axis = mesh.axis_names[0]
-        row_sharding = NamedSharding(mesh, PartitionSpec(axis))
+        # Shard solve chunks over the FULL mesh (dp×ip flattened): every
+        # row's ridge solve is independent, so ALS has no reason to idle
+        # the ip axis the SGD engine uses for item-table sharding.  The
+        # counterpart table stays replicated — bounded-by-arithmetic at
+        # every target scale (docs/SCALING.md §ALS counterpart
+        # replication: Netflix F=300 user table = 0.58 GB ≈ 3.6% of one
+        # v5e's HBM).
+        row_sharding = NamedSharding(
+            mesh, PartitionSpec(tuple(mesh.axis_names)))
 
     # pair_pack=False: ALS never samples, so the interleaved sampling
     # mirror (+8 bytes/rating, ~45 s of tunnel upload at 100M ratings)

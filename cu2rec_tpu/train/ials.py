@@ -50,7 +50,11 @@ def train_ials(train_csr: CSRRatings, test_csr: CSRRatings, cfg: Config,
     row_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
-        row_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        # Full-mesh (dp×ip) row sharding of the solve chunks, counterpart
+        # table replicated — same design + HBM bound as train_als
+        # (docs/SCALING.md §ALS counterpart replication).
+        row_sharding = NamedSharding(
+            mesh, PartitionSpec(tuple(mesh.axis_names)))
 
     if device_buckets is None:
         device_buckets = train_csr.nnz > 5_000_000

@@ -106,6 +106,21 @@ def test_als_sharded_matches_single(toy_csr, toy_ratings):
     np.testing.assert_allclose(np.asarray(m2.Q), np.asarray(m1.Q), atol=1e-5)
     assert abs(l1[3] - l2[3]) < 1e-5
 
+    # (2,2) mesh: solve chunks shard over the FULL dp×ip mesh (the ip
+    # axis no longer idles during ALS; VERDICT r3 item 4), counterpart
+    # table replicated — must still match single-device.
+    import jax
+    if len(jax.devices()) >= 4:
+        cfg3 = Config(total_iterations=3, n_factors=3, P_reg=0.05,
+                      Q_reg=0.05, user_bias_reg=0.05, item_bias_reg=0.05)
+        m3, l3 = train_als(toy_csr, toy_csr, cfg3, toy_ratings.global_bias,
+                           logger=quiet(), mesh=make_mesh(2, 2))
+        np.testing.assert_allclose(np.asarray(m3.P), np.asarray(m1.P),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m3.Q), np.asarray(m1.Q),
+                                   atol=1e-5)
+        assert abs(l1[3] - l3[3]) < 1e-5
+
 
 def test_heavy_row_exact_gram():
     """A degree-50K row (beyond the largest bucket cap) must be solved on

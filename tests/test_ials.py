@@ -136,6 +136,13 @@ def test_ials_sharded_matches_single(toy_csr):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(m1.Q), np.asarray(m2.Q),
                                atol=5e-3)
+    # (2,2) mesh: full dp×ip chunk sharding (VERDICT r3 item 4).
+    m3, _ = train_ials(toy_csr, toy_csr, Config(**kw), alpha=5.0,
+                       logger=quiet(), recall_k=2, mesh=make_mesh(2, 2))
+    np.testing.assert_allclose(np.asarray(m1.P), np.asarray(m3.P),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(m1.Q), np.asarray(m3.Q),
+                               atol=5e-3)
 
 
 def test_ials_learns_implicit_planted_ranking():
