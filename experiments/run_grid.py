@@ -109,6 +109,7 @@ def run_cell(train_csv: str, test_csv: str, iters: int, factors: int,
         recall = recall_at_k_eval(_model, train_csr, test_csr, k=recall_k)
     return {
         "collision": collision,
+        "profile_dir": profile_dir,
         "recall_at_k": recall,
         "train_csv": train_csv,
         "iterations": iters,
@@ -138,7 +139,11 @@ def main(argv=None) -> int:
     p.add_argument("--collision", default="first_wins",
                    choices=["first_wins", "mean", "sum", "twin"])
     p.add_argument("--recall-k", type=int, default=0)
-    p.add_argument("--profile", action="store_true")
+    p.add_argument("--profile", "--profile-per-cell", action="store_true",
+                   dest="profile",
+                   help="wrap every (dataset, iters, factors) cell in "
+                   "jax.profiler.trace with its own xplane dir — the "
+                   "cu2rec_prof.sh:8-20 one-dump-per-cell protocol")
     p.add_argument("--results-dir", default="results")
     args = p.parse_args(argv)
 
@@ -151,11 +156,16 @@ def main(argv=None) -> int:
             train_csv, test_csv = dataset.split(":", 1)
         else:
             train_csv, test_csv = split_if_needed(dataset)
+        dstag = (os.path.basename(train_csv).replace("_train", "")
+                 .rsplit(".", 1)[0])
         for factors in args.factors:
             for iters in args.iters:
-                profile_dir = (os.path.join("profiles",
-                                            f"{stamp}-i{iters}-f{factors}")
-                               if args.profile else None)
+                # One xplane dir per (dataset, iters, factors) cell —
+                # cu2rec_prof.sh:8-20 parity (r3 dirs lacked the dataset
+                # component, collapsing multi-dataset grids per scale).
+                profile_dir = (os.path.join(
+                    "profiles", f"{stamp}-{dstag}-i{iters}-f{factors}")
+                    if args.profile else None)
                 rec = run_cell(train_csv, test_csv, iters, factors,
                                args.devices, profile_dir,
                                collision=args.collision,
