@@ -114,3 +114,50 @@ def recall_at_k_eval(model: MFModel, train_csr, test_csr, k: int = 10,
     count hits against the held-out test items."""
     return ranking_eval(model, train_csr, test_csr, k, batch_size,
                         max_users, metrics=("recall",))["recall"]
+
+
+def foldin_ranking_eval(engine, input_csr, holdout_csr, cfg=None,
+                        k: int = 10, batch_size: int = 256,
+                        max_users: int | None = None,
+                        metrics: tuple = ("recall", "ndcg")) -> dict:
+    """Fold-in quality (VERDICT r3 item 8): for each user with ratings in
+    BOTH splits, learn a fresh (p_row, user_bias) from the ``input_csr``
+    ratings alone via the engine's batched fold-in (frozen catalog —
+    predict.cu:126-132 semantics), recommend k items with only the INPUT
+    items masked, and score recall@k / ndcg@k against the user's
+    ``holdout_csr`` items.
+
+    ``engine`` is a ``ShardedServingEngine``; ``cfg`` configures the
+    fold-in partial fit (iterations/lr).  Returns ``{metric: mean,
+    "n_users": count}``.
+    """
+    from cu2rec_tpu.ops.topk import ndcg_at_k
+
+    fns = {"recall": recall_at_k, "ndcg": ndcg_at_k}
+    unknown = set(metrics) - fns.keys()
+    if unknown:
+        raise ValueError(f"unknown ranking metric(s): {sorted(unknown)}")
+    n_in = np.diff(input_csr.indptr)
+    n_out = np.diff(holdout_csr.indptr)
+    users = np.nonzero((n_in > 0) & (n_out > 0))[0]
+    if max_users:
+        users = users[:max_users]
+    if len(users) == 0:
+        return {**{m: 0.0 for m in metrics}, "n_users": 0}
+    totals = {m: 0.0 for m in metrics}
+    for b0 in range(0, len(users), batch_size):
+        batch = users[b0:b0 + batch_size]
+        rated, rmask = padded_user_lists(input_csr, batch)
+        vals = np.zeros_like(rated, dtype=np.float32)
+        for b, u in enumerate(batch):
+            lo, hi = input_csr.indptr[u], input_csr.indptr[u + 1]
+            vals[b, :hi - lo] = input_csr.data[lo:hi]
+        p_rows, ub = engine.fold_in(rated, vals, rmask, cfg=cfg)
+        _, rec = engine.recommend(p_rows, ub, rated, rmask, k=k)
+        rel, relmask = padded_user_lists(holdout_csr, batch)
+        rec = jnp.asarray(rec)
+        rel, relmask = jnp.asarray(rel), jnp.asarray(relmask)
+        for m in metrics:
+            totals[m] += float(jnp.sum(fns[m](rec, rel, relmask)))
+    return {**{m: totals[m] / len(users) for m in metrics},
+            "n_users": int(len(users))}
