@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("-k", "--top-k", type=int, default=10)
     p.add_argument("--max-batch", type=int, default=512)
     p.add_argument("--window-ms", type=float, default=4.0)
+    p.add_argument("--completion-workers", type=int, default=4,
+                   help="parallel result-fetch threads (each dispatched "
+                   "group's materialization is a host round trip; a pool "
+                   "overlaps them)")
     p.add_argument("--warm-batch", type=int, default=0,
                    help="precompile the program ladder up to this batch "
                    "size before taking traffic (0 = compile lazily)")
@@ -114,7 +118,8 @@ def main(argv=None) -> int:
     daemon = ServingDaemon(engine, train_csr=train_csr, cfg=cfg,
                            max_batch=args.max_batch,
                            window_ms=args.window_ms,
-                           default_k=args.top_k)
+                           default_k=args.top_k,
+                           completion_workers=args.completion_workers)
     print(f"model: {model.n_users} users x {model.n_items} items, "
           f"F={model.n_factors}, {engine.n_ip} item shard(s)",
           file=sys.stderr, flush=True)

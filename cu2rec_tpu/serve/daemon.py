@@ -81,13 +81,22 @@ class ServingDaemon:
     def __init__(self, engine, train_csr=None, cfg: Config | None = None,
                  max_batch: int = 512, window_ms: float = 4.0,
                  default_k: int = 10, max_rows: int = 4096,
-                 max_fold_in_items: int = 16384):
+                 max_fold_in_items: int = 16384,
+                 completion_workers: int = 4):
         self.engine = engine
         self.train_csr = train_csr
         self.cfg = cfg or Config()
         self.max_batch = max_batch
         self.window_ms = window_ms
         self.default_k = default_k
+        # Completion fetches materialize device arrays — a full host round
+        # trip (~80 ms through a tunneled runtime) per dispatched group.
+        # ONE completer fetches groups serially, so a cycle that splits
+        # into G groups pays G round trips back to back and closed-loop
+        # clients stall the whole time (the r3 pooled wall: 366 req/s).
+        # A small pool overlaps those fetches; per-connection response
+        # order is preserved by each connection's own future queue.
+        self.completion_workers = max(1, completion_workers)
         # Engine-call row budget: ``max_batch`` counts REQUESTS, but a
         # batch "users" request carries many rows — without a row cap one
         # dispatch group could flatten to 65536+ rows, whose score tile
@@ -99,7 +108,7 @@ class ServingDaemon:
         self.max_fold_in_items = max_fold_in_items
         self._queue: queue.Queue[_Pending] = queue.Queue()
         self._thread: threading.Thread | None = None
-        self._completer: threading.Thread | None = None
+        self._completers: list[threading.Thread] = []
         self._completions: queue.Queue | None = None
         self._stop = threading.Event()
         # Counters are touched from every connection thread (submit) and
@@ -451,10 +460,13 @@ class ServingDaemon:
                     break
                 self._finish(*item)
 
-        self._completer = threading.Thread(
-            target=complete_loop, args=(self._completions,), daemon=True,
-            name="cu2rec-serve-complete")
-        self._completer.start()
+        self._completers = [
+            threading.Thread(target=complete_loop,
+                             args=(self._completions,), daemon=True,
+                             name=f"cu2rec-serve-complete-{w}")
+            for w in range(self.completion_workers)]
+        for t in self._completers:
+            t.start()
 
         def loop():
             while not stop.is_set():
@@ -491,9 +503,11 @@ class ServingDaemon:
         # Drain anything still queued so no future hangs forever.
         while self.process_once(block=False):
             pass
-        completions.put(None)
-        self._completer.join(timeout=60.0)
-        self._completer = None
+        for _ in self._completers:
+            completions.put(None)
+        for t in self._completers:
+            t.join(timeout=60.0)
+        self._completers = []
 
 
 # -- transports --------------------------------------------------------------
