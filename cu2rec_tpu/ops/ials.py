@@ -72,6 +72,26 @@ def _solve_ials_heavy(T_other, G_global, cols, vals, mask, seg_start,
     return _ridge_finish(G, rhs, solver)
 
 
+def ials_fold_in(Y, cols, vals, mask, alpha: float, reg: float,
+                 solver: str = "auto"):
+    """Exact one-shot fold-in for a BATCH of new implicit users: the
+    user half-sweep solve applied to unseen rows,
+
+        x_u = ( YᵀY + Yᵀ(C_u − I)Y + λI )⁻¹ Σ_{i∈S_u} (1 + α·r_ui) y_i
+
+    with the item factors ``Y`` frozen — the iALS counterpart of the
+    explicit model's SGD fold-in (predict.cu:126 semantics; implicit
+    models have no rating loss to descend, the closed-form solve IS the
+    partial fit).  ``cols/vals/mask``: (B, D) padded rated-item slices.
+    Padded rows of a row-padded ``Y`` are zero and drop out of both the
+    Gramian and the corrections.  Returns (B, F) user factor rows.
+    """
+    G = gramian(Y)
+    return _solve_ials_bucket(Y, G, jnp.asarray(cols), jnp.asarray(vals),
+                              jnp.asarray(mask), jnp.float32(alpha),
+                              jnp.float32(reg), solver=solver)
+
+
 def ials_half_sweep(T_self, T_other, chunks, alpha: float, reg: float,
                     solver: str = "auto", fused: bool = True):
     """Update every row of ``T_self`` (plain (N, F) factors) given frozen

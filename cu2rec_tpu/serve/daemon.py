@@ -29,6 +29,8 @@ Request protocol (JSONL, one object per line):
 
     {"id": 1, "op": "fold_in", "items": [3, 7], "ratings": [5.0, 3.5],
      "k": 10, "iterations": 500}
+    {"id": 9, "op": "fold_in", "mode": "implicit", "items": [3, 7],
+     "ratings": [2.0, 1.0], "alpha": 40.0, "reg": 0.1, "k": 10}
     {"id": 2, "op": "recommend", "user": 42, "k": 10}
     {"id": 3, "op": "recommend", "users": [42, 7, 9], "k": 10}
     {"id": 4, "op": "stats"}

@@ -360,6 +360,73 @@ class ShardedServingEngine:
             self._programs[("init", Bp)] = prog
         return prog(key)
 
+    # -- implicit (iALS) fold-in ------------------------------------------
+    def _ifold_program(self, B: int, D: int):
+        """One-shot exact ridge fold-in against the ip-sharded catalog
+        (ops/ials.ials_fold_in semantics, distributed): local Gramian +
+        owned-row gathers psum over ip, then a replicated batched solve."""
+        key = ("ifold", B, D)
+        if key in self._programs:
+            return self._programs[key]
+        F = self.F
+        mesh = self.mesh
+
+        def body(T_i_l, items, vals, m, alpha, reg):
+            from cu2rec_tpu.ops.als import _ridge_finish
+            ip = jax.lax.axis_index("ip")
+            I_loc = T_i_l.shape[0]
+            offset = ip * I_loc
+            Y_l = T_i_l[:, :F].astype(jnp.float32)
+            # Row-padded catalog tail is zero (jnp.pad in __init__) —
+            # contributes nothing to the Gramian.
+            G = jax.lax.psum(
+                jnp.einsum("if,ig->fg", Y_l, Y_l,
+                           preferred_element_type=jnp.float32), "ip")
+            owned = (items >= offset) & (items < offset + I_loc) & m
+            loc = jnp.clip(items - offset, 0, I_loc - 1)
+            q = jax.lax.psum(
+                jnp.where(owned[..., None], Y_l[loc], 0.0), "ip")
+            mf = m.astype(jnp.float32)
+            w = alpha * vals * mf                       # c − 1, masked
+            Gb = G[None] + jnp.einsum("bdf,bdg->bfg", q * w[..., None], q,
+                                      preferred_element_type=jnp.float32)
+            rhs = jnp.einsum("bdf,bd->bf", q, (1.0 + alpha * vals) * mf,
+                             preferred_element_type=jnp.float32)
+            Gb = Gb + jnp.eye(F)[None] * reg
+            # blocked: pure-XLA batched Cholesky — at serving batch sizes
+            # the solve is trivial; the Pallas solver's edge is the
+            # training sweeps' huge chunk batches (results/solve-bench).
+            return _ridge_finish(Gb, rhs, "blocked")
+
+        f = jax.jit(_shard_map(mesh)(
+            body,
+            in_specs=(P("ip", None), P(), P(), P(), P(), P()),
+            out_specs=P()))
+        self._programs[key] = f
+        return f
+
+    def fold_in_implicit(self, rated_items, strengths, mask,
+                         alpha: float = 40.0, reg: float = 0.1):
+        """Exact one-shot fold-in for implicit (iALS) catalogs: solves the
+        user half-sweep normal equations for B new users against the
+        frozen item factors — the implicit counterpart of ``fold_in``
+        (which descends the rating loss and needs iterations).  Returns
+        (P_rows (B, F), ub zeros (B,)) — iALS scores carry no biases, so
+        the rows drop straight into ``recommend``.
+        """
+        B, D = np.shape(rated_items)
+        Bp, Dp = _pow2_pad(B), _pow2_pad(D)
+        items = np.zeros((Bp, Dp), np.int32)
+        vals = np.zeros((Bp, Dp), np.float32)
+        m = np.zeros((Bp, Dp), bool)
+        items[:B, :D] = rated_items
+        vals[:B, :D] = strengths
+        m[:B, :D] = mask
+        f = self._ifold_program(Bp, Dp)
+        rows = np.asarray(f(self.T_i, items, vals, m,
+                            jnp.float32(alpha), jnp.float32(reg)))
+        return rows[:B], np.zeros(B, np.float32)
+
     def fold_in_and_recommend_padded(self, rated_items, ratings, mask,
                                      cfg: Config | None = None,
                                      k: int = 10):

@@ -119,7 +119,9 @@ def recall_at_k_eval(model: MFModel, train_csr, test_csr, k: int = 10,
 def foldin_ranking_eval(engine, input_csr, holdout_csr, cfg=None,
                         k: int = 10, batch_size: int = 256,
                         max_users: int | None = None,
-                        metrics: tuple = ("recall", "ndcg")) -> dict:
+                        metrics: tuple = ("recall", "ndcg"),
+                        mode: str = "sgd", alpha: float = 40.0,
+                        reg: float = 0.1) -> dict:
     """Fold-in quality (VERDICT r3 item 8): for each user with ratings in
     BOTH splits, learn a fresh (p_row, user_bias) from the ``input_csr``
     ratings alone via the engine's batched fold-in (frozen catalog —
@@ -128,8 +130,11 @@ def foldin_ranking_eval(engine, input_csr, holdout_csr, cfg=None,
     ``holdout_csr`` items.
 
     ``engine`` is a ``ShardedServingEngine``; ``cfg`` configures the
-    fold-in partial fit (iterations/lr).  Returns ``{metric: mean,
-    "n_users": count}``.
+    fold-in partial fit (iterations/lr).  ``mode="implicit"`` uses the
+    one-shot exact iALS ridge fold-in (``fold_in_implicit`` with
+    ``alpha``/``reg``) instead of the explicit-model SGD partial fit —
+    input values then act as confidence strengths, not ratings.
+    Returns ``{metric: mean, "n_users": count}``.
     """
     from cu2rec_tpu.ops.topk import ndcg_at_k
 
@@ -152,7 +157,13 @@ def foldin_ranking_eval(engine, input_csr, holdout_csr, cfg=None,
         for b, u in enumerate(batch):
             lo, hi = input_csr.indptr[u], input_csr.indptr[u + 1]
             vals[b, :hi - lo] = input_csr.data[lo:hi]
-        p_rows, ub = engine.fold_in(rated, vals, rmask, cfg=cfg)
+        if mode == "implicit":
+            p_rows, ub = engine.fold_in_implicit(rated, vals, rmask,
+                                                 alpha=alpha, reg=reg)
+        elif mode == "sgd":
+            p_rows, ub = engine.fold_in(rated, vals, rmask, cfg=cfg)
+        else:
+            raise ValueError(f"unknown fold-in mode: {mode!r}")
         _, rec = engine.recommend(p_rows, ub, rated, rmask, k=k)
         rel, relmask = padded_user_lists(holdout_csr, batch)
         rec = jnp.asarray(rec)

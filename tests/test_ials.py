@@ -187,3 +187,124 @@ def test_ials_fused_matches_unfused(toy_csr):
     outs = [np.asarray(ials_half_sweep(X, Y, chunks, 10.0, 0.5, fused=f))
             for f in (True, False)]
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_ials_fold_in_exact(toy_csr):
+    """ials_fold_in == per-user NumPy normal-equation solves against the
+    frozen Y (the user half-sweep equation applied to new rows)."""
+    from cu2rec_tpu.ops.ials import ials_fold_in
+
+    F, alpha, lam = 3, 10.0, 0.5
+    model = init_model(toy_csr.n_users, toy_csr.n_items, F, 0.0, seed=4)
+    Y = jnp.asarray(model.Q, jnp.float32)
+    B = toy_csr.n_users
+    D = int(np.diff(toy_csr.indptr).max())
+    cols = np.zeros((B, D), np.int32)
+    vals = np.zeros((B, D), np.float32)
+    mask = np.zeros((B, D), bool)
+    for u in range(B):
+        lo, hi = toy_csr.indptr[u], toy_csr.indptr[u + 1]
+        n = hi - lo
+        cols[u, :n] = toy_csr.indices[lo:hi]
+        vals[u, :n] = toy_csr.data[lo:hi]
+        mask[u, :n] = True
+    X = np.asarray(ials_fold_in(Y, cols, vals, mask, alpha, lam))
+
+    Q = np.asarray(Y, np.float64)
+    G = Q.T @ Q
+    for u in range(B):
+        lo, hi = toy_csr.indptr[u], toy_csr.indptr[u + 1]
+        items = toy_csr.indices[lo:hi]
+        r = toy_csr.data[lo:hi].astype(np.float64)
+        Gu = G + (Q[items].T * (alpha * r)) @ Q[items] + lam * np.eye(F)
+        rhs = Q[items].T @ (1.0 + alpha * r)
+        np.testing.assert_allclose(X[u], np.linalg.solve(Gu, rhs),
+                                   atol=2e-4)
+
+
+def test_engine_implicit_fold_in(toy_csr):
+    """Engine fold_in_implicit == the plain op, including over an
+    ip-sharded catalog (psum Gramian + owned-row gathers), and the rows
+    recommend sensibly (own rated items masked)."""
+    import jax
+    import pytest
+    from cu2rec_tpu.models.state import MFModel
+    from cu2rec_tpu.ops.ials import ials_fold_in
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    F, alpha, lam = 4, 5.0, 0.3
+    rng = np.random.default_rng(0)
+    Y = rng.normal(0, 0.3, (toy_csr.n_items, F)).astype(np.float32)
+    model = MFModel(P=jnp.zeros((toy_csr.n_users, F), jnp.float32),
+                    Q=jnp.asarray(Y),
+                    user_bias=jnp.zeros(toy_csr.n_users, jnp.float32),
+                    item_bias=jnp.zeros(toy_csr.n_items, jnp.float32),
+                    global_bias=jnp.float32(0.0))
+    B, D = 3, 4
+    cols = rng.integers(0, toy_csr.n_items, (B, D)).astype(np.int32)
+    vals = rng.uniform(1, 5, (B, D)).astype(np.float32)
+    mask = rng.uniform(size=(B, D)) < 0.8
+    mask[:, 0] = True
+    want = np.asarray(ials_fold_in(jnp.asarray(Y), cols, vals * mask,
+                                   mask, alpha, lam))
+
+    for n_dev in (1, 2):
+        if len(jax.devices()) < n_dev:
+            pytest.skip("not enough devices")
+        eng = ShardedServingEngine(model, devices=jax.devices()[:n_dev])
+        rows, ub = eng.fold_in_implicit(cols, vals * mask, mask,
+                                        alpha=alpha, reg=lam)
+        np.testing.assert_allclose(rows, want, atol=1e-4), n_dev
+        assert (ub == 0).all()
+        _, rec = eng.recommend(rows, ub, cols, mask, k=2)
+        for b in range(B):
+            assert not set(rec[b]) & set(cols[b][mask[b]])
+
+
+def test_foldin_ranking_eval_implicit_planted():
+    """End-to-end: train iALS on planted implicit block structure, fold
+    in users from half their observations via the one-shot ridge solve,
+    and recall@k of the held-out half must be far above chance."""
+    from cu2rec_tpu.data.csr import csr_from_arrays
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+    from cu2rec_tpu.serve.recommend import foldin_ranking_eval
+
+    rng = np.random.default_rng(11)
+    U, I = 40, 30
+    rows = []
+    for u in range(U):
+        block = (u % 2) * (I // 2)
+        liked = rng.choice(I // 2, size=10, replace=False) + block
+        for i in liked:
+            rows.append((u, i, 1.0))
+    arr = np.asarray(rows)
+    full = csr_from_arrays(arr[:, 0].astype(np.int32),
+                           arr[:, 1].astype(np.int32),
+                           arr[:, 2].astype(np.float32), U, I)
+    cfg = Config(total_iterations=6, n_factors=8, P_reg=0.1, Q_reg=0.1,
+                 seed=2)
+    model, _ = train_ials(full, full, cfg, alpha=20.0, logger=quiet())
+
+    in_rows, out_rows = [], []
+    for u in range(U):
+        lo, hi = full.indptr[u], full.indptr[u + 1]
+        perm = rng.permutation(hi - lo)
+        half = (hi - lo) // 2
+        for j in perm[:half]:
+            in_rows.append((u, full.indices[lo + j], full.data[lo + j]))
+        for j in perm[half:]:
+            out_rows.append((u, full.indices[lo + j], full.data[lo + j]))
+
+    def mk(r):
+        a = np.asarray(r)
+        return csr_from_arrays(a[:, 0].astype(np.int32),
+                               a[:, 1].astype(np.int32),
+                               a[:, 2].astype(np.float32), U, I)
+
+    engine = ShardedServingEngine(model)
+    out = foldin_ranking_eval(engine, mk(in_rows), mk(out_rows),
+                              mode="implicit", alpha=20.0, reg=0.1, k=5)
+    assert out["n_users"] == U
+    # 5 held-out liked items in a 30-item catalog, 5 recommendations:
+    # chance recall ~5/25 = 0.2; in-block structure should triple that.
+    assert out["recall"] > 0.6, out
