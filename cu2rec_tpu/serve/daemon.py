@@ -171,6 +171,16 @@ class ServingDaemon:
             it = req.get("iterations")
             if it is not None and not (self._is_int(it) and it >= 0):
                 return "'iterations' must be a non-negative int"
+            mode = req.get("mode", "sgd")
+            if mode not in ("sgd", "implicit"):
+                return "'mode' must be 'sgd' or 'implicit'"
+            for fld in ("alpha", "reg"):
+                v = req.get(fld)
+                if v is not None and not (
+                        isinstance(v, (int, float))
+                        and not isinstance(v, bool)
+                        and math.isfinite(v) and v >= 0):
+                    return f"'{fld}' must be a finite non-negative number"
         elif op == "recommend":
             n_users = int(np.shape(self.engine.P)[0])
             if "users" in req:
@@ -236,9 +246,17 @@ class ServingDaemon:
             try:
                 k = int(r.get("k", self.default_k))
                 if r["op"] == "fold_in":
-                    key = ("fold_in", k,
-                           int(r.get("iterations",
-                                     self.cfg.total_iterations)))
+                    if r.get("mode", "sgd") == "implicit":
+                        # One exact solve per (alpha, reg): grouping on
+                        # the hyperparams keeps each engine call a single
+                        # batched ridge solve.
+                        key = ("fold_in_implicit", k,
+                               float(r.get("alpha", 40.0)),
+                               float(r.get("reg", 0.1)))
+                    else:
+                        key = ("fold_in", k,
+                               int(r.get("iterations",
+                                         self.cfg.total_iterations)))
                 else:
                     key = ("recommend", k)
             except Exception as e:  # noqa: BLE001 — fail the request, not the thread
@@ -259,6 +277,10 @@ class ServingDaemon:
                 if key[0] == "fold_in":
                     scores, ids = self._run_fold_in(grp, k=key[1],
                                                     iterations=key[2])
+                    parts = [(scores, ids, len(grp))]
+                elif key[0] == "fold_in_implicit":
+                    scores, ids = self._run_fold_in_implicit(
+                        grp, k=key[1], alpha=key[2], reg=key[3])
                     parts = [(scores, ids, len(grp))]
                 else:
                     parts = self._run_recommend(grp, k=key[1])
@@ -336,6 +358,26 @@ class ServingDaemon:
                                   is_train=False)
         return self.engine.fold_in_and_recommend_padded(
             rated, vals, mask, cfg=cfg, k=k)
+
+    def _run_fold_in_implicit(self, grp: list[_Pending], k: int,
+                              alpha: float, reg: float):
+        """Implicit (iALS) fold-in group: ONE batched exact ridge solve
+        against the frozen catalog, then the standard masked recommend.
+        'ratings' act as confidence strengths (c = 1 + α·r)."""
+        B = len(grp)
+        D = max(len(p.req["items"]) for p in grp)
+        rated = np.zeros((B, D), np.int32)
+        vals = np.zeros((B, D), np.float32)
+        mask = np.zeros((B, D), bool)
+        for b, p in enumerate(grp):
+            n = len(p.req["items"])
+            rated[b, :n] = p.req["items"]
+            vals[b, :n] = p.req["ratings"]
+            mask[b, :n] = True
+        # Dispatch-only like the sgd fold-in path: the returned arrays
+        # stay un-materialized; the completion pool pays the fetch.
+        return self.engine.fold_in_implicit_and_recommend_padded(
+            rated, vals, mask, alpha=alpha, reg=reg, k=k)
 
     def _run_recommend(self, grp: list[_Pending], k: int):
         flat: list[int] = []

@@ -414,6 +414,15 @@ class ShardedServingEngine:
         (P_rows (B, F), ub zeros (B,)) — iALS scores carry no biases, so
         the rows drop straight into ``recommend``.
         """
+        B = int(np.shape(rated_items)[0])
+        rows = np.asarray(self.fold_in_implicit_padded(
+            rated_items, strengths, mask, alpha=alpha, reg=reg))
+        return rows[:B], np.zeros(B, np.float32)
+
+    def fold_in_implicit_padded(self, rated_items, strengths, mask,
+                                alpha: float = 40.0, reg: float = 0.1):
+        """Hot-path variant of ``fold_in_implicit``: dispatch only;
+        returns the UNTRIMMED (Bp, F) rows as a device array."""
         B, D = np.shape(rated_items)
         Bp, Dp = _pow2_pad(B), _pow2_pad(D)
         items = np.zeros((Bp, Dp), np.int32)
@@ -423,9 +432,21 @@ class ShardedServingEngine:
         vals[:B, :D] = strengths
         m[:B, :D] = mask
         f = self._ifold_program(Bp, Dp)
-        rows = np.asarray(f(self.T_i, items, vals, m,
-                            jnp.float32(alpha), jnp.float32(reg)))
-        return rows[:B], np.zeros(B, np.float32)
+        return f(self.T_i, items, vals, m,
+                 jnp.float32(alpha), jnp.float32(reg))
+
+    def fold_in_implicit_and_recommend_padded(self, rated_items, strengths,
+                                              mask, alpha: float = 40.0,
+                                              reg: float = 0.1,
+                                              k: int = 10):
+        """Implicit hot path: exact ridge fold-in + masked scoring,
+        dispatch only, (Bp, k) device out."""
+        rows = self.fold_in_implicit_padded(rated_items, strengths, mask,
+                                            alpha=alpha, reg=reg)
+        Bp = int(rows.shape[0])
+        rated, rmask = self._pad_rated(rated_items, mask, Bp)
+        f = self._recommend_program(Bp, int(rated.shape[1]), k)
+        return f(rows, jnp.zeros(Bp, jnp.float32), self.T_i, rated, rmask)
 
     def fold_in_and_recommend_padded(self, rated_items, ratings, mask,
                                      cfg: Config | None = None,

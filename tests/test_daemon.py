@@ -492,3 +492,52 @@ def test_serve_cli_item_components_foldin_only(tmp_path, data_dir,
     assert len(by_id[1]["items"]) == 3
     assert 0 not in by_id[1]["items"] and 1 not in by_id[1]["items"]
     assert "error" in by_id[2]  # no known users in this mode
+
+
+def test_fold_in_implicit_op_matches_engine(served):
+    """mode='implicit' fold-in: one exact batched ridge solve per
+    (alpha, reg) group, responses == the engine called directly, and
+    sgd/implicit requests never share a group."""
+    daemon, engine, csr, _ = served
+    reqs = [{"id": 100 + b, "op": "fold_in", "mode": "implicit",
+             "items": [0, 2 + b], "ratings": [2.0, 1.0 + b],
+             "alpha": 5.0, "reg": 0.3, "k": 2} for b in range(3)]
+    # a same-cycle sgd fold-in must go to its own group
+    reqs.append({"id": 200, "op": "fold_in", "items": [1],
+                 "ratings": [4.0], "k": 2, "iterations": 5})
+    futs = [daemon.submit(r) for r in reqs]
+    n0 = daemon.n_batches
+    processed = 0
+    while processed < len(reqs):
+        processed += daemon.process_once(block=False)
+    assert daemon.n_batches == n0 + 2  # implicit group + sgd group
+
+    rated = np.asarray([[0, 2], [0, 3], [0, 4]], np.int32)
+    vals = np.asarray([[2.0, 1.0], [2.0, 2.0], [2.0, 3.0]], np.float32)
+    mask = np.ones((3, 2), bool)
+    rows, ub = engine.fold_in_implicit(rated, vals, mask,
+                                       alpha=5.0, reg=0.3)
+    scores, ids = engine.recommend(rows, ub, rated, mask, k=2)
+    for b in range(3):
+        resp = futs[b].result(timeout=60)
+        assert "error" not in resp, resp
+        keep = np.asarray(scores[b]) > -1e30
+        assert resp["items"] == [int(i) for i in np.asarray(ids[b])[keep]]
+        # own rated items masked
+        assert not set(resp["items"]) & {0, 2 + b}
+    assert "error" not in futs[3].result(timeout=60)
+
+
+def test_fold_in_implicit_validation(served):
+    daemon, _, _, _ = served
+    bad = [
+        ({"op": "fold_in", "mode": "ridge", "items": [1],
+          "ratings": [1.0]}, "'mode' must be"),
+        ({"op": "fold_in", "mode": "implicit", "items": [1],
+          "ratings": [1.0], "alpha": float("nan")}, "'alpha'"),
+        ({"op": "fold_in", "mode": "implicit", "items": [1],
+          "ratings": [1.0], "reg": -1}, "'reg'"),
+    ]
+    for req, frag in bad:
+        resp = daemon.submit(req).result(timeout=10)
+        assert "error" in resp and frag in resp["error"], (req, resp)
