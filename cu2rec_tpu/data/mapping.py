@@ -14,9 +14,11 @@ not hours.
 Pipeline: ``parse_raw_ratings`` (native multithreaded parse, NumPy
 fallback) → ``assign_sequential`` per id column → stable argsort by
 user → ``write_mapped_csv`` (native parallel writer with a
-unique-rating string table, byte-identical to the reference's
-``str(float(r))`` formatting for exact-in-float32 ratings — every
-MovieLens/Netflix vocabulary).
+unique-rating string table; shortest-roundtrip float32 formatting
+reproduces the reference's ``str(float(r))`` bytes for any rating
+decimal the float32 parse preserves — every MovieLens/Netflix
+vocabulary and typical custom ones like 3.7; only decimals beyond
+float32 precision lose digits, at parse time).
 """
 
 from __future__ import annotations
@@ -189,7 +191,17 @@ def write_mapped_csv(path: str, users, items, ratings) -> None:
     if inv is None:
         uniq = np.unique(ratings)
         inv = np.searchsorted(uniq, ratings)
-    table = [str(float(v)) for v in uniq.tolist()]
+    if uniq.dtype == np.float32:
+        # Shortest round-trip float32 repr: for any decimal the float32
+        # parse preserved exactly as written (every real rating
+        # vocabulary, including non-f32-exact values like 3.7), this
+        # reproduces the reference's float64 ``str(float(r))`` bytes —
+        # str(float(np.float32(3.7))) would print the 17-digit f32
+        # artifact instead.
+        table = [np.format_float_positional(v, unique=True, min_digits=1)
+                 for v in uniq]
+    else:
+        table = [str(float(v)) for v in uniq.tolist()]
     try:
         from cu2rec_tpu.data.native import native_write_ratings_mapped
         native_write_ratings_mapped(path, users, items, inv, table)

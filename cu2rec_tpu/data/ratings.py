@@ -51,6 +51,12 @@ def _read_numpy(path: str, delimiter: str = ",", skip_header: int = 1):
                         dtype=np.float64)
     if raw.ndim == 1:
         raw = raw[None, :]
+    if raw.shape[1] == 0:
+        # Empty / header-only file: genfromtxt yields shape (1, 0); the
+        # column slices below would IndexError where the native parser
+        # (and the reference reader) return zero rows.
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float32))
     return (raw[:, 0].astype(np.int64), raw[:, 1].astype(np.int64),
             raw[:, 2].astype(np.float32))
 

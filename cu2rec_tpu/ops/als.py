@@ -560,19 +560,48 @@ def _disable_fused(sig, exc: Exception, tier: str = "full") -> None:
     if path:  # persistence enabled (CLIs/harnesses; never in tests)
         entries = _persisted_disabled()
         entries.add(repr(sig))
-        # Merge-on-write: concurrent processes each rewrite the whole
-        # file, so union with whatever landed since our read — last
-        # writer must not drop the other's signatures.
-        entries |= _read_disabled_store(path)
         import json
         import os
+        import time as _time
+        # Read-merge-write under a best-effort O_EXCL lock: without it
+        # two concurrent writers can each re-read BEFORE the other's
+        # rename and the last rename drops the other's signature
+        # (TOCTOU).  The lock is advisory — after ~2 s of contention
+        # (or a stale lock from a crashed process, detected by age) we
+        # proceed unlocked, degrading to the previous
+        # merge-what-landed-so-far behavior rather than blocking a
+        # training loop on serving-cache bookkeeping.
+        lock = f"{path}.lock"
+        fd = -1
+        for _ in range(20):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lock) > 10:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    pass
+                _time.sleep(0.1)
+            except OSError:
+                break
         try:
+            entries |= _read_disabled_store(path)
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(sorted(entries), f)
             os.replace(tmp, path)
         except OSError:
             pass
+        finally:
+            if fd >= 0:
+                os.close(fd)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
     import warnings
     nxt = ("retrying as group-fused programs" if tier == "full"
            else "computing this group per-chunk")

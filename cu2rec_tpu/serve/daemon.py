@@ -174,6 +174,14 @@ class ServingDaemon:
             mode = req.get("mode", "sgd")
             if mode not in ("sgd", "implicit"):
                 return "'mode' must be 'sgd' or 'implicit'"
+            if mode == "implicit":
+                # Strengths are confidence weights c−1 = α·r: a negative
+                # one makes the ridge system indefinite → NaN factors →
+                # a silently empty recommendation list (the same failure
+                # mode the NaN check above guards).
+                if any(r < 0 for r in ratings):
+                    return ("implicit 'ratings' are confidence strengths "
+                            "and must be >= 0")
             for fld in ("alpha", "reg"):
                 v = req.get(fld)
                 if v is not None and not (
@@ -279,9 +287,8 @@ class ServingDaemon:
                                                     iterations=key[2])
                     parts = [(scores, ids, len(grp))]
                 elif key[0] == "fold_in_implicit":
-                    scores, ids = self._run_fold_in_implicit(
+                    parts = self._run_fold_in_implicit(
                         grp, k=key[1], alpha=key[2], reg=key[3])
-                    parts = [(scores, ids, len(grp))]
                 else:
                     parts = self._run_recommend(grp, k=key[1])
             except Exception as e:  # noqa: BLE001 — fail the group, not the daemon
@@ -342,7 +349,10 @@ class ServingDaemon:
         resp.update(ServingDaemon._row(ids_row, scores_row))
         return resp
 
-    def _run_fold_in(self, grp: list[_Pending], k: int, iterations: int):
+    @staticmethod
+    def _pack_group(grp: list[_Pending]):
+        """(rated, vals, mask) padded arrays for a fold-in group — the
+        shared request-row packing of both fold-in paths."""
         B = len(grp)
         D = max(len(p.req["items"]) for p in grp)
         rated = np.zeros((B, D), np.int32)
@@ -353,31 +363,56 @@ class ServingDaemon:
             rated[b, :n] = p.req["items"]
             vals[b, :n] = p.req["ratings"]
             mask[b, :n] = True
+        return rated, vals, mask
+
+    def _run_fold_in(self, grp: list[_Pending], k: int, iterations: int):
+        rated, vals, mask = self._pack_group(grp)
         import dataclasses
         cfg = dataclasses.replace(self.cfg, total_iterations=iterations,
                                   is_train=False)
         return self.engine.fold_in_and_recommend_padded(
             rated, vals, mask, cfg=cfg, k=k)
 
+    # Element budget for one implicit solve's (B, D, F) gathered-rows
+    # tensor: 32 Mi elements = 128 MB float32 (plus the same again for
+    # the weighted copy inside the einsum).  The SGD fold-in never
+    # materializes a (B, D, F) tensor, so only this path needs the cap.
+    _IFOLD_ELEMS = 32 << 20
+
     def _run_fold_in_implicit(self, grp: list[_Pending], k: int,
                               alpha: float, reg: float):
-        """Implicit (iALS) fold-in group: ONE batched exact ridge solve
+        """Implicit (iALS) fold-in group: batched exact ridge solves
         against the frozen catalog, then the standard masked recommend.
-        'ratings' act as confidence strengths (c = 1 + α·r)."""
-        B = len(grp)
-        D = max(len(p.req["items"]) for p in grp)
-        rated = np.zeros((B, D), np.int32)
-        vals = np.zeros((B, D), np.float32)
-        mask = np.zeros((B, D), bool)
-        for b, p in enumerate(grp):
-            n = len(p.req["items"])
-            rated[b, :n] = p.req["items"]
-            vals[b, :n] = p.req["ratings"]
-            mask[b, :n] = True
-        # Dispatch-only like the sgd fold-in path: the returned arrays
-        # stay un-materialized; the completion pool pays the fetch.
-        return self.engine.fold_in_implicit_and_recommend_padded(
-            rated, vals, mask, alpha=alpha, reg=reg, k=k)
+        'ratings' act as confidence strengths (c = 1 + α·r).
+
+        The group splits into engine calls bounding Bp·Dp·F to
+        ``_IFOLD_ELEMS`` (a max_batch group of max-width requests would
+        otherwise gather a multi-GB (B, D, F) tensor — the same
+        unbounded-tile class max_rows closes for recommends).  Returns
+        a parts list like ``_run_recommend``.
+        """
+        F = self.engine.F
+        parts = []
+        s = 0
+        while s < len(grp):
+            d_max = 8
+            e = s
+            while e < len(grp):
+                d = max(d_max, _pow2_pad(len(grp[e].req["items"])))
+                n = _pow2_pad(e - s + 1)
+                if e > s and n * d * F > self._IFOLD_ELEMS:
+                    break
+                d_max = d
+                e += 1
+            sub = grp[s:e]
+            rated, vals, mask = self._pack_group(sub)
+            # Dispatch-only like the sgd fold-in path: the returned
+            # arrays stay un-materialized; the completion pool fetches.
+            scores, ids = self.engine.fold_in_implicit_and_recommend_padded(
+                rated, vals, mask, alpha=alpha, reg=reg, k=k)
+            parts.append((scores, ids, len(sub)))
+            s = e
+        return parts
 
     def _run_recommend(self, grp: list[_Pending], k: int):
         flat: list[int] = []

@@ -371,17 +371,12 @@ class ShardedServingEngine:
         F = self.F
         mesh = self.mesh
 
-        def body(T_i_l, items, vals, m, alpha, reg):
+        def body(T_i_l, G, items, vals, m, alpha, reg):
             from cu2rec_tpu.ops.als import _ridge_finish
             ip = jax.lax.axis_index("ip")
             I_loc = T_i_l.shape[0]
             offset = ip * I_loc
             Y_l = T_i_l[:, :F].astype(jnp.float32)
-            # Row-padded catalog tail is zero (jnp.pad in __init__) —
-            # contributes nothing to the Gramian.
-            G = jax.lax.psum(
-                jnp.einsum("if,ig->fg", Y_l, Y_l,
-                           preferred_element_type=jnp.float32), "ip")
             owned = (items >= offset) & (items < offset + I_loc) & m
             loc = jnp.clip(items - offset, 0, I_loc - 1)
             q = jax.lax.psum(
@@ -400,10 +395,31 @@ class ShardedServingEngine:
 
         f = jax.jit(_shard_map(mesh)(
             body,
-            in_specs=(P("ip", None), P(), P(), P(), P(), P()),
+            in_specs=(P("ip", None), P(), P(), P(), P(), P(), P()),
             out_specs=P()))
         self._programs[key] = f
         return f
+
+    def _implicit_gramian(self):
+        """G = YᵀY over the full (ip-sharded) catalog — computed ONCE per
+        engine lifetime (T_i is frozen) and fed replicated into every
+        implicit fold-in solve; the row-padded catalog tail is zero
+        (jnp.pad in __init__) and contributes nothing."""
+        G = self._programs.get(("igram",))
+        if G is None:
+            F = self.F
+
+            def gram(T_i_l):
+                Y_l = T_i_l[:, :F].astype(jnp.float32)
+                return jax.lax.psum(
+                    jnp.einsum("if,ig->fg", Y_l, Y_l,
+                               preferred_element_type=jnp.float32), "ip")
+
+            f = jax.jit(_shard_map(self.mesh)(
+                gram, in_specs=(P("ip", None),), out_specs=P()))
+            G = f(self.T_i)
+            self._programs[("igram",)] = G
+        return G
 
     def fold_in_implicit(self, rated_items, strengths, mask,
                          alpha: float = 40.0, reg: float = 0.1):
@@ -432,7 +448,7 @@ class ShardedServingEngine:
         vals[:B, :D] = strengths
         m[:B, :D] = mask
         f = self._ifold_program(Bp, Dp)
-        return f(self.T_i, items, vals, m,
+        return f(self.T_i, self._implicit_gramian(), items, vals, m,
                  jnp.float32(alpha), jnp.float32(reg))
 
     def fold_in_implicit_and_recommend_padded(self, rated_items, strengths,

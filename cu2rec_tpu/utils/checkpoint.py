@@ -64,9 +64,12 @@ def save_checkpoint(path: str, model: MFModel, cfg: Config,
         # process holds only its addressable shards), so materialize the
         # full arrays on every process before the numpy conversion —
         # np.asarray on a non-fully-addressable array raises.  The
-        # allgather is a collective EVERY process must enter; only
-        # process 0 then writes (concurrent same-path writers would
-        # leave a torn-file window on a shared filesystem).
+        # allgather is a collective EVERY process must enter; every
+        # process then writes via its own temp + atomic rename (below),
+        # so hosts WITHOUT a shared filesystem each get a complete
+        # checkpoint, and on a shared filesystem the concurrent renames
+        # are atomic last-writer-wins with identical bytes — no torn
+        # window either way.
         from jax.experimental import multihost_utils as mhu
         model = MFModel(
             P=mhu.process_allgather(model.P, tiled=True),
@@ -79,17 +82,18 @@ def save_checkpoint(path: str, model: MFModel, cfg: Config,
             global_bias=np.float32(model.global_bias),
         )
     final = path if path.endswith(".npz") else path + ".npz"
-    if jax.process_index() == 0:
-        comps = model_to_numpy(model)
-        meta = {"config": dataclasses.asdict(cfg), "extra": extra or {}}
-        # Write-then-rename: a concurrent reader (or a crash mid-write)
-        # sees either the previous complete checkpoint or the new one,
-        # never a truncated file.
-        tmp = f"{final}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            np.savez_compressed(f, meta=np.frombuffer(
-                json.dumps(meta).encode(), dtype=np.uint8), **comps)
-        os.replace(tmp, final)
+    comps = model_to_numpy(model)
+    meta = {"config": dataclasses.asdict(cfg), "extra": extra or {}}
+    # Write-then-rename: a concurrent reader (or a crash mid-write) sees
+    # either the previous complete checkpoint or the new one, never a
+    # truncated file.  The pid-unique temp name keeps multi-process
+    # writers (identical post-allgather bytes) from clobbering each
+    # other's in-progress temp.
+    tmp = f"{final}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, meta=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8), **comps)
+    os.replace(tmp, final)
     if jax.process_count() > 1:
         # Resume paths load the file immediately after saving (tests do);
         # don't let rank>0 race ahead of rank 0's rename.

@@ -541,3 +541,51 @@ def test_fold_in_implicit_validation(served):
     for req, frag in bad:
         resp = daemon.submit(req).result(timeout=10)
         assert "error" in resp and frag in resp["error"], (req, resp)
+
+
+def test_fold_in_implicit_rejects_negative_strengths(served):
+    """Negative implicit strengths make the ridge system indefinite
+    (NaN factors -> silently empty response) — must be rejected."""
+    daemon, _, _, _ = served
+    resp = daemon.submit({"op": "fold_in", "mode": "implicit",
+                          "items": [1, 2], "ratings": [-1.0, 2.0],
+                          "k": 2}).result(timeout=10)
+    assert "error" in resp and "must be >= 0" in resp["error"]
+
+
+def test_fold_in_implicit_group_splits_at_element_budget(served,
+                                                         monkeypatch):
+    """An implicit group whose padded (B, D, F) gather tensor exceeds
+    the element budget splits into several engine calls — responses
+    still correct per request."""
+    daemon, engine, _, _ = served
+    # Budget forces a split at ~2 rows of width-8 requests (F=4).
+    monkeypatch.setattr(type(daemon), "_IFOLD_ELEMS", 2 * 8 * engine.F)
+    reqs = [{"id": 300 + b, "op": "fold_in", "mode": "implicit",
+             "items": [b % engine.n_items, (b + 1) % engine.n_items],
+             "ratings": [1.0, 2.0], "alpha": 5.0, "reg": 0.3, "k": 2}
+            for b in range(5)]
+    futs = [daemon.submit(r) for r in reqs]
+    n0 = daemon.n_batches
+    processed = 0
+    while processed < len(reqs):
+        processed += daemon.process_once(block=False)
+    assert daemon.n_batches == n0 + 1  # one GROUP (one batch stat)...
+    for b, fut in enumerate(futs):
+        resp = fut.result(timeout=60)
+        assert "error" not in resp, resp
+        # ...but each request's own rated items are still masked, which
+        # fails if rows were misaligned across the split engine calls.
+        assert not set(resp["items"]) & {b % engine.n_items,
+                                         (b + 1) % engine.n_items}
+        want_rows, want_ub = engine.fold_in_implicit(
+            np.asarray([[b % engine.n_items, (b + 1) % engine.n_items]],
+                       np.int32),
+            np.asarray([[1.0, 2.0]], np.float32),
+            np.ones((1, 2), bool), alpha=5.0, reg=0.3)
+        scores, ids = engine.recommend(
+            want_rows, want_ub,
+            np.asarray([[b % engine.n_items, (b + 1) % engine.n_items]],
+                       np.int32), np.ones((1, 2), bool), k=2)
+        keep = np.asarray(scores[0]) > -1e30
+        assert resp["items"] == [int(i) for i in np.asarray(ids[0])[keep]]

@@ -415,3 +415,58 @@ def test_netflix_mapping_flow(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Skipped 1 rows because of missing users" in out
     assert "Skipped 1 rows because of missing items" in out
+
+
+def test_mapper_empty_and_header_only_files(tmp_path, monkeypatch):
+    """Empty / header-only input produces a header-only mapped file on
+    BOTH the native and NumPy-fallback paths (regression: genfromtxt
+    shape (1,0) IndexError in the fallback)."""
+    from cu2rec_tpu.data.mapping import process_file
+
+    for env in ({}, {"CU2REC_NO_NATIVE": "1"}):
+        for name, content in (("header.csv", "userId,itemId,rating\n"),
+                              ("empty.csv", "")):
+            for k, v in env.items():
+                monkeypatch.setenv(k, v)
+            src = tmp_path / f"{len(env)}_{name}"
+            src.write_text(content)
+            out = tmp_path / f"{len(env)}_{name}.mapped"
+            import subprocess, sys
+            import os
+            repo = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            code = ("import sys; sys.path.insert(0, %r); "
+                    "from cu2rec_tpu.data.mapping import process_file; "
+                    "process_file(sys.argv[1], sys.argv[2])" % repo)
+            import os
+            subprocess.run([sys.executable, "-c", code, str(src),
+                            str(out)], check=True,
+                           env={**os.environ, **env})
+            assert out.read_bytes() == b"userId,itemId,rating\n"
+
+
+def test_mapped_writer_non_f32_exact_rating(tmp_path):
+    """A rating like 3.7 (not exactly representable in float32) must
+    still write '3.7' — the reference's float64 str(float(r)) bytes —
+    via the shortest-roundtrip float32 formatter, on both paths."""
+    from cu2rec_tpu.data.mapping import process_file
+
+    raw = tmp_path / "raw.csv"
+    raw.write_text("userId,itemId,rating\n9,4,3.7\n9,5,2.6\n3,4,5\n")
+    out = tmp_path / "mapped.csv"
+    process_file(str(raw), str(out))
+    native_bytes = out.read_bytes()
+    assert native_bytes == (b"userId,itemId,rating\n"
+                            b"1,1,3.7\n1,2,2.6\n2,1,5.0\n")
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = ("import sys; sys.path.insert(0, %r); "
+            "from cu2rec_tpu.data.mapping import process_file; "
+            "process_file(sys.argv[1], sys.argv[2])" % repo)
+    out2 = tmp_path / "mapped_fb.csv"
+    subprocess.run([sys.executable, "-c", code, str(raw), str(out2)],
+                   check=True,
+                   env={**os.environ, "CU2REC_NO_NATIVE": "1"})
+    assert out2.read_bytes() == native_bytes
