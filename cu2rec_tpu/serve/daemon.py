@@ -518,6 +518,11 @@ class ServingDaemon:
                         np.zeros((B, D), np.int32),
                         np.full((B, D), 3.0, np.float32), mask,
                         cfg=cfg, k=k)
+                    # Implicit ladder: alpha/reg are traced scalars, so
+                    # one program per (B, D, k) covers any hyperparams.
+                    self.engine.fold_in_implicit_and_recommend_padded(
+                        np.zeros((B, D), np.int32),
+                        np.full((B, D), 1.0, np.float32), mask, k=k)
         return len(self.engine._programs) - n0
 
     def start(self) -> None:

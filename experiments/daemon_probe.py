@@ -79,13 +79,19 @@ def main() -> None:
                     "user": int(rng.integers(0, U)), "k": args.k}
         d = int(rng.integers(8, 33))
         row = item_pool[rng.integers(0, len(item_pool))]
-        return {"id": i, "op": "fold_in",
-                "items": [int(x) for x in row[:d]],
-                "ratings": [float(x) for x in rng.uniform(1, 5, d)],
-                "k": args.k, "iterations": args.foldin_iters}
+        req = {"id": i, "op": "fold_in",
+               "items": [int(x) for x in row[:d]],
+               "ratings": [float(x) for x in rng.uniform(1, 5, d)],
+               "k": args.k, "iterations": args.foldin_iters}
+        if op == "fold_in_implicit":
+            # One exact ridge solve instead of SGD iterations.
+            req.update(mode="implicit", alpha=40.0, reg=0.1)
+            del req["iterations"]
+        return req
 
     results = []
-    for op in (() if args.only_batch else ("recommend", "fold_in")):
+    for op in (() if args.only_batch
+               else ("recommend", "fold_in", "fold_in_implicit")):
         daemon = ServingDaemon(eng, cfg=cfg, max_batch=args.max_batch,
                                window_ms=args.window_ms, default_k=args.k)
         daemon.start()
