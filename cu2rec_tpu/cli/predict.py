@@ -34,6 +34,14 @@ def build_parser():
     p.add_argument("user_ratings_csv")
     p.add_argument("-k", "--top-k", type=int, default=0,
                    help="print only the top K recommendations (0 = all)")
+    p.add_argument("--implicit", action="store_true",
+                   help="iALS-exported model: fold in with the exact "
+                        "one-shot ridge solve (ratings act as confidence "
+                        "strengths) instead of SGD iterations")
+    p.add_argument("--alpha", type=float, default=40.0,
+                   help="implicit confidence slope c = 1 + alpha*r")
+    p.add_argument("--reg", type=float, default=None,
+                   help="implicit ridge lambda (default: config P_reg)")
     return p
 
 
@@ -54,11 +62,25 @@ def main(argv=None) -> int:
     rated = user_rd.items
     ratings = user_rd.ratings
 
-    model, _losses = fold_in_user(Q, item_bias, global_bias, rated, ratings,
-                                  cfg)
-    scores = np.asarray(predict_all_items(
-        model.P[0], model.user_bias[0], model.Q, model.item_bias,
-        model.global_bias))
+    if args.implicit:
+        # Exact one-shot implicit partial fit (ops/ials.ials_fold_in):
+        # no iterations/lr; biases play no role in the implicit score.
+        import jax.numpy as jnp
+
+        from cu2rec_tpu.ops.ials import ials_fold_in
+        x = np.asarray(ials_fold_in(
+            jnp.asarray(Q, jnp.float32),
+            np.asarray(rated, np.int32)[None, :],
+            np.asarray(ratings, np.float32)[None, :],
+            np.ones((1, len(rated)), bool), args.alpha,
+            args.reg if args.reg is not None else cfg.P_reg))[0]
+        scores = np.asarray(Q, np.float32) @ x
+    else:
+        model, _losses = fold_in_user(Q, item_bias, global_bias, rated,
+                                      ratings, cfg)
+        scores = np.asarray(predict_all_items(
+            model.P[0], model.user_bias[0], model.Q, model.item_bias,
+            model.global_bias))
 
     # Print predictions (predict.cu:31-38 format).
     print("Predictions: ")

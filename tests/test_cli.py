@@ -185,3 +185,49 @@ def test_get_data_cli(tmp_path, capsys):
     rc = mf_main(["-c", str(cfgp), str(train), str(train),
                   "--outdir", str(tmp_path / "outm")])
     assert rc == 0
+
+
+def test_predict_implicit_flag(tmp_path, data_dir, capsys):
+    """ials train via mf CLI -> predict --implicit: the exact one-shot
+    ridge fold-in scores the catalog (no iterations), rated items are
+    filtered, and the x row matches ials_fold_in called directly."""
+    import jax.numpy as jnp
+
+    from cu2rec_tpu.cli import mf, predict
+    from cu2rec_tpu.data import load_matrix, read_ratings_csv
+    from cu2rec_tpu.ops.ials import ials_fold_in
+
+    train = str(data_dir / "test_ratings.csv")
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("0 3 4 0.05 42 0.1 0.1 0.1 0.1\n")
+    assert mf.main(["-c", str(cfg_path), train, train,
+                    "--outdir", str(tmp_path), "--algo", "ials",
+                    "--alpha", "5"]) == 0
+    capsys.readouterr()
+
+    rc = predict.main(["-c", str(cfg_path),
+                       "-i", str(tmp_path / "test_ratings_f4_item_bias.csv"),
+                       "-g", str(tmp_path /
+                                 "test_ratings_f4_global_bias.csv"),
+                       "-q", str(tmp_path / "test_ratings_f4_q.csv"),
+                       str(data_dir / "test_user_ratings.csv"),
+                       "--implicit", "--alpha", "5", "--reg", "0.1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Rank: 1" in out
+    for line in out.splitlines():
+        if line.startswith("Rank:"):
+            assert int(line.split("Item:")[1].split()[0]) in (2, 4)
+
+    # Oracle: same solve by hand.
+    Q = load_matrix(str(tmp_path / "test_ratings_f4_q.csv"))
+    rd = read_ratings_csv(str(data_dir / "test_user_ratings.csv"))
+    x = np.asarray(ials_fold_in(
+        jnp.asarray(Q, jnp.float32), rd.items[None, :],
+        rd.ratings[None, :], np.ones((1, len(rd.items)), bool),
+        5.0, 0.1))[0]
+    scores = Q.astype(np.float32) @ x
+    best = int(np.argmax(np.where(np.isin(np.arange(len(scores)),
+                                          rd.items), -np.inf, scores)))
+    first = [ln for ln in out.splitlines() if ln.startswith("Rank: 1")][0]
+    assert int(first.split("Item:")[1].split()[0]) == best
