@@ -231,3 +231,46 @@ def test_predict_implicit_flag(tmp_path, data_dir, capsys):
                                           rd.items), -np.inf, scores)))
     first = [ln for ln in out.splitlines() if ln.startswith("Rank: 1")][0]
     assert int(first.split("Item:")[1].split()[0]) == best
+
+
+def test_eval_cli(tmp_path, data_dir, capsys):
+    """cu2rec-eval: standalone metrics for exported components — RMSE/MAE
+    match the training run's final eval line; --ranking adds recall/ndcg."""
+    import json as _json
+
+    from cu2rec_tpu.cli import evaluate, mf
+
+    train = str(data_dir / "test_ratings.csv")
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("0 60 4 0.05 42 0.02 0.02 0.02 0.02\n")
+    assert mf.main(["-c", str(cfg_path), train, train,
+                    "--outdir", str(tmp_path),
+                    "--checkpoint", str(tmp_path / "ck.npz")]) == 0
+    out = capsys.readouterr().out
+    final = [ln for ln in out.splitlines()
+             if ln.startswith("TEST: Iteration 60 ")][0]
+    want_rmse = float(final.split("RMSE:")[1])
+
+    # components form
+    rc = evaluate.main(["-p", str(tmp_path / "test_ratings_f4_p.csv"),
+                        "-q", str(tmp_path / "test_ratings_f4_q.csv"),
+                        "-u", str(tmp_path / "test_ratings_f4_user_bias.csv"),
+                        "-i", str(tmp_path / "test_ratings_f4_item_bias.csv"),
+                        "-g", str(tmp_path /
+                                  "test_ratings_f4_global_bias.csv"),
+                        train, "--ranking", "--train", train])
+    assert rc == 0
+    out = capsys.readouterr().out
+    summary = _json.loads(out.splitlines()[-1])
+    # CSV export rounds to 6 decimals; tolerance reflects that.
+    assert abs(summary["test_rmse"] - want_rmse) < 1e-3
+    assert "RANKING: recall@5" in out
+    # train==test with all items rated -> nothing unrated to recommend
+    assert 0.0 <= summary["recall_at_k"] <= 1.0
+
+    # checkpoint form agrees with the components form
+    rc = evaluate.main(["--checkpoint", str(tmp_path / "ck.npz"), train])
+    assert rc == 0
+    out = capsys.readouterr().out
+    s2 = _json.loads(out.splitlines()[-1])
+    assert abs(s2["test_rmse"] - summary["test_rmse"]) < 1e-3
