@@ -408,6 +408,29 @@ _FUSED_DISABLED: set = set()
 _FUSED_GROUP_K = 4
 
 
+def _eager_retry(eager_fn, T, regs_g, heavies_g, tries: int = 3,
+                 backoff: float = 20.0):
+    """Tier 3 (per-chunk) has no lower tier, so a TRANSIENT remote-compile
+    failure — the tunneled compile helper getting SIGKILLed under memory
+    pressure, observed killing per-chunk programs in r4 — would abort a
+    whole training journey.  The per-chunk computation is pure and
+    idempotent: retry it a couple of times with backoff before giving up.
+    Non-compile-service errors re-raise immediately."""
+    import time as _time
+    for attempt in range(tries):
+        try:
+            return eager_fn(T, regs_g, heavies_g)
+        except jax.errors.JaxRuntimeError as e:
+            if attempt + 1 >= tries or "remote_compile" not in str(e):
+                raise
+            import warnings
+            warnings.warn(
+                f"per-chunk program compile failed transiently "
+                f"(retry {attempt + 1}/{tries - 1} in {backoff:.0f}s): "
+                f"{str(e)[:150]}")
+            _time.sleep(backoff)
+
+
 def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
                    group_k: int | None = None):
     """Three-tier fused chunk dispatch with per-signature sticky disables.
@@ -432,7 +455,7 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
         # the remote compile helper for an hour+ even at the group tier;
         # the per-chunk path computes identical results from a handful of
         # small fast-compiling programs.
-        return eager_fn(T_self, regs, heavies)
+        return _eager_retry(eager_fn, T_self, regs, heavies)
     if group_k is None:
         group_k = _FUSED_GROUP_K
     full_sig = (tag, _chunks_sig(regs), _chunks_sig(heavies))
@@ -451,7 +474,7 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
     for regs_g, heavies_g in groups:
         gsig = (tag, "group", _chunks_sig(regs_g), _chunks_sig(heavies_g))
         if _sig_disabled(gsig):
-            T = eager_fn(T, regs_g, heavies_g)
+            T = _eager_retry(eager_fn, T, regs_g, heavies_g)
             continue
         try:
             out = fused_fn(T, regs_g, heavies_g)
@@ -459,7 +482,7 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
             T = out
         except jax.errors.JaxRuntimeError as e:
             _disable_fused(gsig, e, tier="group")
-            T = eager_fn(T, regs_g, heavies_g)
+            T = _eager_retry(eager_fn, T, regs_g, heavies_g)
     return T
 
 # Program signatures whose fused executable has completed one real

@@ -492,3 +492,40 @@ def test_fused_disabled_store_survives_late_enable(tmp_path, monkeypatch):
     persisted = set(json.loads(store.read_text()))
     assert persisted == {"('earlier-run-sig',)", "('concurrent-sig',)",
                          "('new-sig',)"}
+
+
+def test_eager_retry_transient_compile_failure(monkeypatch):
+    """Tier-3 per-chunk dispatch retries transient remote-compile
+    failures (compile-helper SIGKILL under memory pressure) instead of
+    aborting the journey; non-compile errors re-raise immediately."""
+    import jax
+    import pytest
+
+    from cu2rec_tpu.ops.als import _eager_retry
+
+    calls = {"n": 0}
+
+    def flaky(T, r, h):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP "
+                "500: tpu_compile_helper subprocess exit signal SIGKILL")
+        return "ok"
+
+    import time as time_mod
+    monkeypatch.setattr(time_mod, "sleep", lambda s: None)
+    assert _eager_retry(flaky, None, (), (), backoff=0.0) == "ok"
+    assert calls["n"] == 3
+
+    def other_error(T, r, h):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: HBM OOM")
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="HBM OOM"):
+        _eager_retry(other_error, None, (), (), backoff=0.0)
+
+    def always_fails(T, r, h):
+        raise jax.errors.JaxRuntimeError("remote_compile: SIGKILL")
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="remote_compile"):
+        _eager_retry(always_fails, None, (), (), backoff=0.0)
