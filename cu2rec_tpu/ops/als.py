@@ -170,6 +170,16 @@ def _chunk_size(B: int, width: int, F1: int, budget: int,
     return chunk
 
 
+def _chunk_budget(default: int = 64 << 20) -> int:
+    """Elements per chunk design tensor.  CU2REC_ALS_BUDGET (elements)
+    overrides — an operational knob: smaller chunks mean more, smaller
+    per-chunk programs, which keeps a memory-limited remote compile
+    helper from SIGKILLing the tier-3 compiles (observed r4)."""
+    import os
+    v = os.environ.get("CU2REC_ALS_BUDGET")
+    return int(v) if v else default
+
+
 def _spec_devices(row_sharding) -> int:
     """Device count the row dimension splits over — spec[0] may be one
     mesh axis name or a tuple of axes (full-mesh dp×ip sharding)."""
@@ -184,7 +194,7 @@ def _spec_devices(row_sharding) -> int:
 
 def prepare_chunks(bucketed: BucketedRows, n_factors: int,
                    n_rows_total: int, row_sharding=None,
-                   budget: int = 64 << 20):
+                   budget: int | None = None):
     """Pre-upload bucket data as fixed-shape device chunks (done ONCE per
     training run — re-uploading per sweep dominated sweep time through
     slow H2D links).
@@ -194,6 +204,7 @@ def prepare_chunks(bucketed: BucketedRows, n_factors: int,
     each bucket compiles a single solve program, with padding rows given
     out-of-bounds row ids (scattered with mode='drop').
     """
+    budget = budget or _chunk_budget()
     F1 = n_factors + 1
     chunks = []
     for b in bucketed.buckets:
@@ -265,13 +276,14 @@ def _extract_rows_device(flat_i, flat_d, starts, lens, cap: int):
 
 def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
                           n_rows_total: int, nnz: int, caps=BUCKET_CAPS,
-                          budget: int = 64 << 20, row_sharding=None):
+                          budget: int | None = None, row_sharding=None):
     """Device-side bucket build: same chunk contract as
     :func:`prepare_chunks`, but (cols, vals) are EXTRACTED ON DEVICE from
     the already-uploaded flat CSR arrays — only tiny (starts, lens)
     vectors cross the host↔device boundary, instead of the multi-GB
     padded bucket expansion (which made Netflix-scale ALS impractical
     through slow host links; docs/ROADMAP.md r1 known limits)."""
+    budget = budget or _chunk_budget()
     F1 = n_factors + 1
     cap_max = caps[-1]
     flat_i = jnp.pad(jnp.asarray(indices_dev[:nnz], jnp.int32), (0, cap_max))
