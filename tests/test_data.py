@@ -470,3 +470,26 @@ def test_mapped_writer_non_f32_exact_rating(tmp_path):
                    check=True,
                    env={**os.environ, "CU2REC_NO_NATIVE": "1"})
     assert out2.read_bytes() == native_bytes
+
+
+def test_mapper_negative_and_extreme_ids(tmp_path):
+    """The factorizer's id domain is full int64 (only INT64_MIN is
+    rejected): negative and huge raw ids map through the same
+    first-appearance rule as the reference dict loop."""
+    from cu2rec_tpu.data.mapping import map_file
+
+    rng = np.random.default_rng(9)
+    ids_pool = np.asarray([-5, -1, 0, 7, 2**62, -(2**61), 123456789012345])
+    rows = [(int(ids_pool[rng.integers(len(ids_pool))]),
+             int(ids_pool[rng.integers(len(ids_pool))]),
+             float(rng.integers(1, 6))) for _ in range(200)]
+    raw = tmp_path / "raw.csv"
+    raw.write_text("userId,itemId,rating\n" +
+                   "".join(f"{u},{i},{r}\n" for u, i, r in rows))
+    um_ref, im_ref = {}, {}
+    want, _, _ = _reference_map(rows, um_ref, im_ref)
+    um, im = {}, {}
+    mu, mi, r = map_file(str(raw), um, im)
+    got = list(zip(mu.tolist(), mi.tolist(), r.tolist()))
+    assert got == [tuple(w) for w in want]
+    assert um == um_ref and im == im_ref
