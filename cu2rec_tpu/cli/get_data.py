@@ -157,8 +157,13 @@ def main(argv=None) -> int:
             return 1
     if not args.no_checksum:
         if spec["md5"] is None:
-            print(f"warning: no pinned checksum for {name}; pass --md5 "
-                  f"to verify", file=sys.stderr)
+            # Refuse to silently process an unverified archive: datasets
+            # with no pinned checksum need an explicit decision from the
+            # user (provide the expected md5, or opt out loudly).
+            print(f"error: no pinned checksum for {name}; pass --md5 "
+                  f"<expected> to verify, or --no-checksum to skip "
+                  f"verification explicitly", file=sys.stderr)
+            return 1
         else:
             got = _md5(archive)
             if got != spec["md5"]:

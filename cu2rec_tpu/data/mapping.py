@@ -163,6 +163,17 @@ def write_mapped_csv(path: str, users, items, ratings) -> None:
     string table (real rating vocabularies are tiny) indexed by the
     native parallel writer; the NumPy/Python fallback produces identical
     bytes.
+
+    Formatting caveats vs the reference (both limited to rating
+    vocabularies no real dataset uses): (a) ratings pass through
+    float32, so custom vocabularies with >7 significant decimal digits
+    lose precision relative to the reference's float64 pipeline; (b) the
+    positional formatter below never switches to scientific notation,
+    while the reference's ``str(float(r))`` does for |r| < 1e-4 or
+    >= 1e16 — e.g. 0.00001 is written back as ``0.00001`` here but
+    ``1e-05`` there.  Parsed values are identical either way; only the
+    bytes differ, and only outside the float32-exact in-range regime the
+    byte-parity tests pin.
     """
     users = np.asarray(users, np.int64)
     items = np.asarray(items, np.int64)

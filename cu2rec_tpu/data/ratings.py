@@ -47,6 +47,29 @@ class RatingsData:
 
 
 def _read_numpy(path: str, delimiter: str = ",", skip_header: int = 1):
+    # Parse the id columns as int64 DIRECTLY: routing them through
+    # float64 silently rounds ids above 2^53, which would make the
+    # fallback disagree with the native parser's (and the reference's,
+    # util.cu:17-45) exact integer parse — the mapper would then assign
+    # wrong first-appearance codes for extreme ids.
+    try:
+        # Read the id columns as strings and convert with the exact
+        # int64 parse (astype raises on "1.0"-style ids rather than
+        # silently filling, unlike genfromtxt's own int converter).
+        raw = np.genfromtxt(
+            path, delimiter=delimiter, skip_header=skip_header,
+            dtype=[("u", "U24"), ("i", "U24"), ("r", np.float32)])
+        if raw.ndim == 0:
+            raw = raw[None]
+        if raw.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.float32))
+        return (raw["u"].astype(np.int64), raw["i"].astype(np.int64),
+                raw["r"].copy())
+    except Exception:
+        # Ids not plain integers (e.g. "1.0") — fall back to the
+        # permissive float64 parse below.
+        pass
     raw = np.genfromtxt(path, delimiter=delimiter, skip_header=skip_header,
                         dtype=np.float64)
     if raw.ndim == 1:

@@ -448,7 +448,7 @@ class ServingDaemon:
     # -- lifecycle ---------------------------------------------------------
     def warm(self, max_batch: int | None = None, max_width: int = 32,
              iterations: int | None = None, verbose: bool = False,
-             ks: tuple | None = None) -> int:
+             ks: tuple | None = None, ops: tuple | None = None) -> int:
         """Precompile the pow2 program ladder before taking traffic.
 
         Dispatch pads every batch to a power of two, so steady state uses
@@ -469,6 +469,12 @@ class ServingDaemon:
         count), so compile coverage is identical and startup doesn't pay
         thousands of wasted SGD steps per rung.  Returns the number of
         programs compiled.
+
+        ``ops`` selects which op ladders to warm, from {"recommend",
+        "fold_in", "fold_in_implicit"} (default: all).  An explicit-only
+        deployment should pass ``ops=("recommend", "fold_in")`` — the
+        implicit rung roughly doubles fold-in warm-up compile time and
+        buys nothing if no iALS fold-ins will be served.
         """
         import dataclasses
 
@@ -497,32 +503,44 @@ class ServingDaemon:
         cfg = dataclasses.replace(self.cfg, is_train=False,
                                   total_iterations=1)
         ks = tuple(ks) if ks else (self.default_k,)
+        ops = (tuple(ops) if ops is not None
+               else ("recommend", "fold_in", "fold_in_implicit"))
+        unknown = set(ops) - {"recommend", "fold_in", "fold_in_implicit"}
+        if unknown:
+            raise ValueError(f"unknown warm ops: {sorted(unknown)}")
         n0 = len(self.engine._programs)
         for B in ladder:
             for k in ks:
-                for R in sorted(rec_widths):
-                    if verbose:
-                        print(f"warm recommend B={B} R={R} k={k}",
-                              flush=True)
-                    self.engine.recommend_padded(
-                        np.zeros((B, self.engine.F), np.float32),
-                        np.zeros(B, np.float32),
-                        np.zeros((B, R), np.int32), np.zeros((B, R), bool),
-                        k=k)
+                if "recommend" in ops:
+                    for R in sorted(rec_widths):
+                        if verbose:
+                            print(f"warm recommend B={B} R={R} k={k}",
+                                  flush=True)
+                        self.engine.recommend_padded(
+                            np.zeros((B, self.engine.F), np.float32),
+                            np.zeros(B, np.float32),
+                            np.zeros((B, R), np.int32),
+                            np.zeros((B, R), bool), k=k)
                 for D in widths:
-                    if verbose:
-                        print(f"warm fold_in B={B} D={D} k={k}", flush=True)
                     mask = np.zeros((B, D), bool)
                     mask[:, 0] = True
-                    self.engine.fold_in_and_recommend_padded(
-                        np.zeros((B, D), np.int32),
-                        np.full((B, D), 3.0, np.float32), mask,
-                        cfg=cfg, k=k)
+                    if "fold_in" in ops:
+                        if verbose:
+                            print(f"warm fold_in B={B} D={D} k={k}",
+                                  flush=True)
+                        self.engine.fold_in_and_recommend_padded(
+                            np.zeros((B, D), np.int32),
+                            np.full((B, D), 3.0, np.float32), mask,
+                            cfg=cfg, k=k)
                     # Implicit ladder: alpha/reg are traced scalars, so
                     # one program per (B, D, k) covers any hyperparams.
-                    self.engine.fold_in_implicit_and_recommend_padded(
-                        np.zeros((B, D), np.int32),
-                        np.full((B, D), 1.0, np.float32), mask, k=k)
+                    if "fold_in_implicit" in ops:
+                        if verbose:
+                            print(f"warm fold_in_implicit B={B} D={D} "
+                                  f"k={k}", flush=True)
+                        self.engine.fold_in_implicit_and_recommend_padded(
+                            np.zeros((B, D), np.int32),
+                            np.full((B, D), 1.0, np.float32), mask, k=k)
         return len(self.engine._programs) - n0
 
     def start(self) -> None:

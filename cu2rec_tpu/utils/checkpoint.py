@@ -86,10 +86,13 @@ def save_checkpoint(path: str, model: MFModel, cfg: Config,
     meta = {"config": dataclasses.asdict(cfg), "extra": extra or {}}
     # Write-then-rename: a concurrent reader (or a crash mid-write) sees
     # either the previous complete checkpoint or the new one, never a
-    # truncated file.  The pid-unique temp name keeps multi-process
-    # writers (identical post-allgather bytes) from clobbering each
-    # other's in-progress temp.
-    tmp = f"{final}.tmp.{os.getpid()}"
+    # truncated file.  The (process_index, pid) temp name keeps
+    # multi-process writers (identical post-allgather bytes) from
+    # clobbering each other's in-progress temp — pid alone is only
+    # unique per host, so two ranks on different hosts sharing a
+    # filesystem could collide on the same tmp path and the loser's
+    # os.replace would raise after the winner renamed it away.
+    tmp = f"{final}.tmp.{jax.process_index()}.{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez_compressed(f, meta=np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8), **comps)

@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Run-variance study: N-seed sweeps at the flagship quality cells.
+
+Every quality claim of the form "matches X within run variance" needs a
+measured variance.  This harness re-runs the flagship cells of the
+reference benchmark protocol (experiments/cu2rec.sh:8-10 grid cells;
+eval contract training.cu:135-137) across N training seeds on FIXED
+data — the train/test split stays the reference's seed-42 split
+(split_to_test_train.py default), so the measured sigma is pure
+initialization + sampling-stream variance, the quantity "within run
+variance" quantifies.
+
+Cells (default):
+  * real ML-100K: SGD {twin, first_wins} x iters {5000, 10000} x
+    F {50, 300}; ALS F {50, 300} (10 sweeps, lambda=0.1 — the
+    docs/RESULTS.md ALS protocol).
+  * planted ML-20M (cli.synth preset, data seed fixed): SGD twin
+    5000 x F=50 — the at-scale flagship cell.
+
+One JSON line per run + one per-cell summary line (mean/std/min/max)
+appended to results/seeds-{date}-{commit}.jsonl.
+
+    python experiments/run_seeds.py --seeds 10 --cells ml100k-sgd \
+        ml100k-als ml20m-sgd
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, ROOT)
+
+from cu2rec_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+
+def git_commit() -> str:
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              check=True).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def load_pair(train_csv: str, test_csv: str):
+    from cu2rec_tpu.data import build_csr, read_ratings_csv
+    train_rd = read_ratings_csv(train_csv)
+    test_rd = read_ratings_csv(test_csv)
+    n_users = max(train_rd.n_users, test_rd.n_users)
+    n_items = max(train_rd.n_items, test_rd.n_items)
+    return (build_csr(train_rd, n_users=n_users, n_items=n_items),
+            build_csr(test_rd, n_users=n_users, n_items=n_items),
+            train_rd.global_bias)
+
+
+def ensure_planted_ml20m(workdir: str):
+    """Generate + split the planted ML-20M dataset once (fixed data seed,
+    run_planted.py defaults) and return (train_csv, test_csv, floor)."""
+    raw = os.path.join(workdir, "ratings.csv")
+    train_csv = os.path.join(workdir, "ratings_train.csv")
+    test_csv = os.path.join(workdir, "ratings_test.csv")
+    if not os.path.exists(test_csv):
+        os.makedirs(workdir, exist_ok=True)
+        subprocess.run([sys.executable, "-m", "cu2rec_tpu.cli.synth", raw,
+                        "--preset", "ml20m", "--noise", "0.30",
+                        "--factors", "20"], check=True)
+        subprocess.run([sys.executable, "-m", "cu2rec_tpu.cli.split", raw,
+                        "0.1"], check=True)
+    floor = json.load(open(raw + ".meta.json"))["noise_floor"]
+    return train_csv, test_csv, floor
+
+
+def run_sgd(train_csr, test_csr, mu, *, iters, factors, collision, seed,
+            train_eval_sample=0, test_eval_sample=0, dtype="float32"):
+    from cu2rec_tpu.train.trainer import train
+    from cu2rec_tpu.utils.config import Config
+    from cu2rec_tpu.utils.metrics import MetricsLogger
+    cfg = Config(total_iterations=iters, n_factors=factors,
+                 check_error=max(iters // 10, 1), collision_policy=collision,
+                 seed=seed, dtype=dtype,
+                 train_eval_sample=train_eval_sample,
+                 test_eval_sample=test_eval_sample)
+    logger = MetricsLogger(verbose=False)
+    t0 = time.perf_counter()
+    _model, _losses = train(train_csr, test_csr, cfg, mu, logger=logger)
+    wall = time.perf_counter() - t0
+    evals = [r for r in logger.history if r["event"] == "eval"]
+    last = evals[-1] if evals else {}
+    return dict(test_rmse=last.get("test_rmse"),
+                test_mae=last.get("test_mae"),
+                train_rmse=last.get("train_rmse"), wall_s=round(wall, 2))
+
+
+def run_als(train_csr, test_csr, mu, *, sweeps, factors, reg, seed,
+            train_eval_sample=0, test_eval_sample=0):
+    from cu2rec_tpu.train.als import train_als
+    from cu2rec_tpu.utils.config import Config
+    from cu2rec_tpu.utils.metrics import MetricsLogger
+    cfg = Config(total_iterations=sweeps, n_factors=factors, seed=seed,
+                 P_reg=reg, Q_reg=reg, user_bias_reg=reg, item_bias_reg=reg,
+                 train_eval_sample=train_eval_sample,
+                 test_eval_sample=test_eval_sample)
+    logger = MetricsLogger(verbose=False)
+    t0 = time.perf_counter()
+    _model, _losses = train_als(train_csr, test_csr, cfg, mu, logger=logger)
+    wall = time.perf_counter() - t0
+    evals = [r for r in logger.history if r["event"] == "eval"]
+    last = evals[-1] if evals else {}
+    return dict(test_rmse=last.get("test_rmse"),
+                test_mae=last.get("test_mae"),
+                train_rmse=last.get("train_rmse"), wall_s=round(wall, 2))
+
+
+def summarize(rows):
+    vals = [r["test_rmse"] for r in rows if r.get("test_rmse") is not None]
+    if not vals:
+        return {}
+    return dict(n=len(vals), mean=round(statistics.fmean(vals), 5),
+                std=round(statistics.stdev(vals), 5) if len(vals) > 1 else 0.0,
+                min=round(min(vals), 5), max=round(max(vals), 5))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seeds", type=int, default=10)
+    p.add_argument("--seed-base", type=int, default=42)
+    p.add_argument("--cells", nargs="+",
+                   default=["ml100k-sgd", "ml100k-als", "ml20m-sgd"],
+                   choices=["ml100k-sgd", "ml100k-als", "ml20m-sgd"])
+    p.add_argument("--iters", type=int, nargs="+", default=[5000, 10000])
+    p.add_argument("--factors", type=int, nargs="+", default=[50, 300])
+    p.add_argument("--workdir", default="/tmp/planted_ml20m")
+    p.add_argument("--results-dir", default=os.path.join(ROOT, "results"))
+    args = p.parse_args()
+
+    seeds = [args.seed_base + k for k in range(args.seeds)]
+    os.makedirs(args.results_dir, exist_ok=True)
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    out_path = os.path.join(args.results_dir,
+                            f"seeds-{stamp}-{git_commit()}.jsonl")
+
+    def emit(rec):
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    if "ml100k-sgd" in args.cells or "ml100k-als" in args.cells:
+        tr, te, mu = load_pair(os.path.join(ROOT, "data",
+                                            "ml100k_ratings_train.csv"),
+                               os.path.join(ROOT, "data",
+                                            "ml100k_ratings_test.csv"))
+        if "ml100k-sgd" in args.cells:
+            for collision in ("twin", "first_wins"):
+                for factors in args.factors:
+                    for iters in args.iters:
+                        rows = []
+                        for seed in seeds:
+                            r = run_sgd(tr, te, mu, iters=iters,
+                                        factors=factors,
+                                        collision=collision, seed=seed)
+                            rec = dict(event="run", dataset="ml100k",
+                                       algo="sgd", collision=collision,
+                                       iterations=iters, factors=factors,
+                                       seed=seed, **r)
+                            emit(rec)
+                            rows.append(r)
+                        emit(dict(event="cell", dataset="ml100k",
+                                  algo="sgd", collision=collision,
+                                  iterations=iters, factors=factors,
+                                  test_rmse=summarize(rows)))
+        if "ml100k-als" in args.cells:
+            for factors in args.factors:
+                rows = []
+                for seed in seeds:
+                    r = run_als(tr, te, mu, sweeps=10, factors=factors,
+                                reg=0.1, seed=seed)
+                    rec = dict(event="run", dataset="ml100k", algo="als",
+                               sweeps=10, factors=factors, reg=0.1,
+                               seed=seed, **r)
+                    emit(rec)
+                    rows.append(r)
+                emit(dict(event="cell", dataset="ml100k", algo="als",
+                          sweeps=10, factors=factors, reg=0.1,
+                          test_rmse=summarize(rows)))
+
+    if "ml20m-sgd" in args.cells:
+        train_csv, test_csv, floor = ensure_planted_ml20m(args.workdir)
+        tr, te, mu = load_pair(train_csv, test_csv)
+        rows = []
+        for seed in seeds:
+            r = run_sgd(tr, te, mu, iters=5000, factors=50,
+                        collision="twin", seed=seed,
+                        train_eval_sample=2_000_000)
+            rec = dict(event="run", dataset="planted-ml20m", algo="sgd",
+                       collision="twin", iterations=5000, factors=50,
+                       seed=seed, noise_floor=floor, **r)
+            emit(rec)
+            rows.append(r)
+        emit(dict(event="cell", dataset="planted-ml20m", algo="sgd",
+                  collision="twin", iterations=5000, factors=50,
+                  noise_floor=floor, test_rmse=summarize(rows)))
+
+    print(f"results -> {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -187,6 +187,38 @@ def test_get_data_cli(tmp_path, capsys):
     assert rc == 0
 
 
+def test_get_data_unpinned_checksum_requires_explicit_choice(tmp_path,
+                                                             capsys):
+    """Datasets without a pinned md5 (ml100k-classic) must not silently
+    skip verification: the CLI errors unless the user passes --md5 or
+    opts out loudly with --no-checksum (ADVICE r4)."""
+    import hashlib
+    import zipfile
+
+    from cu2rec_tpu.cli.get_data import main as get_data
+
+    archive = tmp_path / "ml-100k.zip"
+    rows = ["7\t10\t4\t111", "3\t10\t5\t113", "3\t20\t1\t114"]
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("ml-100k/u.data", "\n".join(rows) + "\n")
+    out = tmp_path / "classic"
+
+    rc = get_data(["ml100k-classic", "--outdir", str(out),
+                   "--archive", str(archive)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "no pinned checksum" in err and "--no-checksum" in err
+    assert not (out / "ratings_mapped.csv").exists()
+
+    # a user-provided md5 verifies and proceeds
+    md5 = hashlib.md5(archive.read_bytes()).hexdigest()
+    rc = get_data(["ml100k-classic", "--outdir", str(out),
+                   "--archive", str(archive), "--md5", md5])
+    assert rc == 0
+    capsys.readouterr()
+    assert (out / "ratings_mapped.csv").exists()
+
+
 def test_predict_implicit_flag(tmp_path, data_dir, capsys):
     """ials train via mf CLI -> predict --implicit: the exact one-shot
     ridge fold-in scores the catalog (no iterations), rated items are

@@ -284,6 +284,37 @@ def test_warm_covers_heavy_users_and_extra_ks():
     assert len(eng._programs) == n0
 
 
+def test_warm_ops_gating():
+    """warm(ops=...) compiles only the selected op ladders: an
+    explicit-only deployment skips the implicit fold-in rung (which
+    otherwise roughly doubles fold-in warm-up compile time)."""
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.serve.daemon import ServingDaemon
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    def fresh_daemon():
+        model = init_model(2, 16, 4, 3.0, seed=0)
+        eng = ShardedServingEngine(model)
+        return ServingDaemon(eng, cfg=Config(n_factors=4,
+                                             total_iterations=2,
+                                             is_train=False),
+                             window_ms=0.0, default_k=5), eng
+
+    d_full, e_full = fresh_daemon()
+    n_full = d_full.warm(max_batch=8, max_width=8)
+    d_expl, e_expl = fresh_daemon()
+    n_expl = d_expl.warm(max_batch=8, max_width=8,
+                         ops=("recommend", "fold_in"))
+    assert 0 < n_expl < n_full
+    # the gated rung is exactly the implicit programs: warming it
+    # afterwards lands at the full count
+    n_imp = d_expl.warm(max_batch=8, max_width=8,
+                        ops=("fold_in_implicit",))
+    assert n_expl + n_imp == n_full
+    with pytest.raises(ValueError, match="unknown warm ops"):
+        d_full.warm(max_batch=8, ops=("recommend", "bogus"))
+
+
 def test_validation_errors(served):
     daemon, engine, _, _ = served
     bad = [

@@ -8,6 +8,7 @@ from cu2rec_tpu.data import (
     build_csr, load_matrix, read_array, read_ratings_csv, write_component,
     write_csv,
 )
+from cu2rec_tpu.data.ratings import _read_numpy
 
 
 def test_read_csv_golden(toy_ratings):
@@ -80,6 +81,34 @@ def test_native_matches_python(data_dir, tmp_path):
     np.testing.assert_array_equal(a.items, b.items)
     np.testing.assert_allclose(a.ratings, b.ratings)
     assert a.global_bias == pytest.approx(b.global_bias)
+
+
+def test_fallback_parser_exact_int64_ids(tmp_path):
+    """The numpy fallback must parse id columns exactly — ids above 2^53
+    round silently through float64 (ADVICE r4), which would hand the
+    mapper wrong first-appearance codes when the native parser is
+    unavailable."""
+    big = 2**53 + 3  # not representable in float64
+    path = tmp_path / "extreme.csv"
+    path.write_text("userId,itemId,rating\n"
+                    f"{big},7,4.5\n"
+                    f"{big + 2},9,3.0\n")
+    u, i, r = _read_numpy(str(path))
+    assert u.tolist() == [big, big + 2]
+    assert i.tolist() == [7, 9]
+    np.testing.assert_allclose(r, [4.5, 3.0])
+
+
+def test_fallback_parser_float_formatted_ids(tmp_path):
+    """Float-formatted ids ("1.0") still parse via the permissive float
+    path — the strict int64 parse must fall back, not reject or
+    silently fill."""
+    path = tmp_path / "floaty.csv"
+    path.write_text("userId,itemId,rating\n1.0,2.0,3.5\n4.0,5.0,1.0\n")
+    u, i, r = _read_numpy(str(path))
+    assert u.tolist() == [1, 4]
+    assert i.tolist() == [2, 5]
+    np.testing.assert_allclose(r, [3.5, 1.0])
 
 
 def test_native_large_roundtrip(tmp_path):
