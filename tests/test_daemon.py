@@ -444,6 +444,54 @@ def test_socket_transport_concurrent_connections(served, tmp_path):
     # thread to die with the test process (daemon=True).
 
 
+def test_serve_client_auto_batches(served, tmp_path):
+    """ServeClient merges concurrent single-user recommends into batch
+    ``users`` requests (so one client rides the daemon's batch ceiling)
+    and fans the responses back out per caller; pass-through ops and
+    explicit batches keep working on the same connection."""
+    import threading
+
+    from cu2rec_tpu.serve.client import ServeClient
+    from cu2rec_tpu.serve.daemon import run_socket
+
+    daemon, engine, csr, _ = served
+    path = str(tmp_path / "serve_client.sock")
+    threading.Thread(target=run_socket, args=(daemon, path),
+                     daemon=True).start()
+    deadline = time.monotonic() + 10
+    while not os.path.exists(path):
+        assert time.monotonic() < deadline, "socket never appeared"
+        time.sleep(0.01)
+
+    n_users = csr.n_users
+    n_req0 = daemon.n_requests
+    with ServeClient(path, batch_size=8, flush_after_ms=50.0) as c:
+        futs = [c.recommend(u % n_users, k=2) for u in range(16)]
+        results = [f.result(timeout=30) for f in futs]
+        # correctness: every row matches a direct single-user request
+        direct = daemon.submit({"id": 0, "op": "recommend", "user": 0,
+                                "k": 2}).result(timeout=30)
+        assert results[0]["items"] == direct["items"]
+        for r in results:
+            assert "error" not in r and len(r["items"]) >= 1
+        # 16 users crossed the wire as 2 batch requests, not 16
+        assert daemon.n_requests - n_req0 == 2 + 1  # +1 direct submit
+
+        # explicit batch + fold-in + stats pass through unscathed
+        batch = c.recommend_many([0, 1, 2], k=2).result(timeout=30)
+        assert len(batch["results"]) == 3
+        assert batch["results"][0]["items"] == direct["items"]
+        fi = c.fold_in([0, 1], [4.0, 3.0], k=2,
+                       iterations=5).result(timeout=30)
+        assert "error" not in fi and len(fi["items"]) >= 1
+        st = c.stats().result(timeout=30)
+        assert st["n_items"] == engine.n_items
+
+        # a lone sub-batch-size recommend still flushes (timer path)
+        lone = c.recommend(1, k=2).result(timeout=30)
+        assert "error" not in lone
+
+
 def test_serve_cli_checkpoint_stdio(tmp_path, data_dir, monkeypatch,
                                     capsys):
     """Full CLI journey: train → checkpoint → cu2rec-serve over stdio."""

@@ -101,6 +101,52 @@ WORKER = textwrap.dedent("""
             print(f"MESH22_{policy} " + json.dumps(
                 {str(k): float(v) for k, v in l22.items()}))
             print(f"MESH22_{policy}_DIGEST " + digest(m22))
+
+        # -- (2,2) FULL-mesh solver families (VERDICT r4 item 3): ALS
+        # and iALS shard their ridge-solve chunks over the flattened
+        # dp x ip mesh (train/als.py row_sharding), so with a (2,2)
+        # mesh half of every chunk's rows live across the process
+        # boundary and the SPMD gram/solve partitioning crosses DCN.
+        cfg_a22 = Config(total_iterations=2, n_factors=4, seed=7,
+                         P_reg=0.1, Q_reg=0.1, user_bias_reg=0.1,
+                         item_bias_reg=0.1)
+        _, l_a22 = train_als(csr, csr, cfg_a22, rd.global_bias,
+                             logger=quiet, mesh=make_mesh(2, 2),
+                             device_buckets=False)
+        print("ALS22 " + json.dumps(
+            {str(k): float(v) for k, v in l_a22.items()}))
+
+        from cu2rec_tpu.train.ials import train_ials
+        cfg_i22 = Config(total_iterations=2, n_factors=4, seed=7,
+                         P_reg=0.1, Q_reg=0.1)
+        _, l_i22 = train_ials(csr, csr, cfg_i22, alpha=5.0, logger=quiet,
+                              mesh=make_mesh(2, 2), device_buckets=False)
+        print("IALS22 " + json.dumps(
+            {str(k): float(v) for k, v in l_i22.items()}))
+
+        # -- implicit fold-in through a 2-process ip=2 serving engine:
+        # the item shards sit on OPPOSITE sides of the process boundary,
+        # so the owned-row gathers and the Gramian psum
+        # (engine._ifold_program) cross it for real.
+        from jax.sharding import Mesh
+        from cu2rec_tpu.models.state import init_model
+        from cu2rec_tpu.serve.engine import ShardedServingEngine
+        devs = np.asarray([jax.devices()[0], jax.devices()[2]])
+        assert {d.process_index for d in devs} == {0, 1}
+        m_serve = init_model(6, 5, 4, 0.0, seed=11)
+        eng = ShardedServingEngine(m_serve, mesh=Mesh(devs, ("ip",)))
+        f_items = np.array([[0, 2, 4], [1, 3, 3]], np.int32)
+        f_vals = np.array([[2.0, 1.0, 3.0], [1.0, 1.0, 1.0]], np.float32)
+        f_mask = np.array([[True, True, True], [True, True, False]])
+        rows, _ub = eng.fold_in_implicit(f_items, f_vals, f_mask,
+                                         alpha=5.0, reg=0.1)
+        print("IFOLD " + json.dumps(np.asarray(rows, np.float64)
+                                    .round(6).tolist()))
+        scores, ids = eng.fold_in_implicit_and_recommend_padded(
+            f_items, f_vals, f_mask, alpha=5.0, reg=0.1, k=2)
+        print("IFOLDREC " + json.dumps(
+            [np.asarray(ids)[:2].tolist(),
+             np.asarray(scores, np.float64)[:2].round(5).tolist()]))
     else:  # PHASE == resume: fresh processes restart from the checkpoint
         from cu2rec_tpu.utils.checkpoint import load_checkpoint
         model0, cfg_r, _ = load_checkpoint(CKPT)
@@ -217,6 +263,62 @@ def test_two_process_mesh_full_story(tmp_path):
                          logger=MetricsLogger(verbose=False), engine=eng22)
         for k, v in ref22.items():
             np.testing.assert_allclose(l22[0][str(k)], v, rtol=1e-6)
+
+    # (2,2) full-mesh solver families: both ranks agree, the sweeps
+    # converge, and the numbers match the same solvers on a
+    # single-process (2,2) mesh (identical program, float tolerance).
+    from cu2rec_tpu.train.als import train_als
+    from cu2rec_tpu.train.ials import train_ials
+
+    a22 = [json.loads(_field(o, "ALS22")) for o in outs]
+    assert a22[0] == a22[1]
+    assert a22[0]["2"] <= a22[0]["1"]
+    cfg_a22 = Config(total_iterations=2, n_factors=4, seed=7,
+                     P_reg=0.1, Q_reg=0.1, user_bias_reg=0.1,
+                     item_bias_reg=0.1)
+    _, ref_a22 = train_als(csr, csr, cfg_a22, rd.global_bias,
+                           logger=MetricsLogger(verbose=False),
+                           mesh=make_mesh(2, 2), device_buckets=False)
+    for k, v in ref_a22.items():
+        np.testing.assert_allclose(a22[0][str(k)], v, rtol=1e-5)
+
+    i22 = [json.loads(_field(o, "IALS22")) for o in outs]
+    assert i22[0] == i22[1]
+    cfg_i22 = Config(total_iterations=2, n_factors=4, seed=7,
+                     P_reg=0.1, Q_reg=0.1)
+    _, ref_i22 = train_ials(csr, csr, cfg_i22, alpha=5.0,
+                            logger=MetricsLogger(verbose=False),
+                            mesh=make_mesh(2, 2), device_buckets=False)
+    for k, v in ref_i22.items():
+        np.testing.assert_allclose(i22[0][str(k)], v, rtol=1e-5, atol=1e-7)
+
+    # Implicit fold-in through the cross-process ip=2 engine: ranks
+    # agree bit-for-bit, and a single-process ip=2 engine on the same
+    # model computes the same rows and the same merged top-k.
+    from jax.sharding import Mesh
+    from cu2rec_tpu.models.state import init_model
+    from cu2rec_tpu.serve.engine import ShardedServingEngine
+
+    ifold = [json.loads(_field(o, "IFOLD")) for o in outs]
+    assert ifold[0] == ifold[1]
+    ifoldrec = [json.loads(_field(o, "IFOLDREC")) for o in outs]
+    assert ifoldrec[0] == ifoldrec[1]
+    m_serve = init_model(6, 5, 4, 0.0, seed=11)
+    eng_ref = ShardedServingEngine(
+        m_serve, mesh=Mesh(np.asarray(jax.devices()[:2]), ("ip",)))
+    f_items = np.array([[0, 2, 4], [1, 3, 3]], np.int32)
+    f_vals = np.array([[2.0, 1.0, 3.0], [1.0, 1.0, 1.0]], np.float32)
+    f_mask = np.array([[True, True, True], [True, True, False]])
+    rows_ref, _ = eng_ref.fold_in_implicit(f_items, f_vals, f_mask,
+                                           alpha=5.0, reg=0.1)
+    np.testing.assert_allclose(np.asarray(ifold[0]), rows_ref,
+                               rtol=1e-5, atol=1e-6)
+    sc_ref, id_ref = eng_ref.fold_in_implicit_and_recommend_padded(
+        f_items, f_vals, f_mask, alpha=5.0, reg=0.1, k=2)
+    assert ifoldrec[0][0] == np.asarray(id_ref)[:2].tolist()
+    np.testing.assert_allclose(np.asarray(ifoldrec[0][1]),
+                               np.asarray(sc_ref)[:2], rtol=1e-4,
+                               atol=1e-5)
 
     # The checkpoint was saved mid-run; a FRESH process pair resumes it
     # and must land on the byte-identical final model.
