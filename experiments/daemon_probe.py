@@ -46,6 +46,11 @@ def main() -> None:
     p.add_argument("--max-batch", type=int, default=512)
     p.add_argument("--only-batch", action="store_true",
                    help="skip the serial/pooled request-granular section")
+    p.add_argument("--client-probe", action="store_true",
+                   help="drive single-user recommend() calls through "
+                        "serve.client.ServeClient over a unix socket — "
+                        "measures the auto-batching client's users/s "
+                        "(the request-granularity fix as an artifact)")
     args = p.parse_args()
 
     from cu2rec_tpu.utils.cache import enable_compile_cache
@@ -231,6 +236,68 @@ def main() -> None:
                "device_users_per_s": round(reps * B / device_dt, 1),
                "daemon_vs_engine": round(engine_dt / daemon_dt * n_reqs
                                          / reps, 3),
+               "backend": jax.default_backend()}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # --- client probe: ServeClient auto-batching over a unix socket ----
+    # The pooled regime above is the granularity ceiling (~2.2-2.4K
+    # req/s: JSON+queue+dispatch per single-user request); the client
+    # merges those same per-user calls into batch 'users' requests
+    # transparently, so ONE caller making one-user calls should land at
+    # the daemon batch ceiling instead.
+    if args.client_probe:
+        import tempfile
+
+        from cu2rec_tpu.serve.client import ServeClient
+        from cu2rec_tpu.serve.daemon import run_socket
+
+        daemon = ServingDaemon(eng, cfg=cfg, max_batch=args.max_batch,
+                               window_ms=0.0, default_k=args.k)
+        path = os.path.join(tempfile.mkdtemp(prefix="cu2rec_probe_"),
+                            "serve.sock")
+        threading.Thread(target=run_socket, args=(daemon, path),
+                         daemon=True).start()
+        deadline = time.monotonic() + 30
+        while not os.path.exists(path):
+            assert time.monotonic() < deadline, "socket never appeared"
+            time.sleep(0.05)
+        client_bs = 256
+        # precompile the shapes the client's batches coalesce to
+        for bp in {_pow2_pad(client_bs), _pow2_pad(client_bs) * 2,
+                   _pow2_pad(client_bs) * 4}:
+            eng.recommend_padded(
+                np.zeros((bp, eng.F), np.float32), np.zeros(bp, np.float32),
+                np.zeros((bp, 1), np.int32), np.zeros((bp, 1), bool),
+                k=args.k)
+        n = max(args.requests * 8, 8192)
+        users = rng.integers(0, U, n + client_bs)
+        with ServeClient(path, batch_size=client_bs, flush_after_ms=2.0,
+                         max_in_flight=16) as c:
+            # warm pass (untimed)
+            for f in [c.recommend(int(u), k=args.k)
+                      for u in users[n:]]:
+                f.result(timeout=600)
+            b0, r0 = daemon.n_batches, daemon.n_batched_requests
+            futs = []
+            t0 = time.perf_counter()
+            for i in range(n):
+                futs.append(c.recommend(int(users[i]), k=args.k))
+                if len(futs) >= 8192:
+                    futs.pop(0).result(timeout=600)
+            c.flush()
+            for f in futs:
+                assert "error" not in f.result(timeout=600)
+            client_dt = time.perf_counter() - t0
+        nb = daemon.n_batches - b0
+        rec = {"kind": "client_probe", "op": "recommend", "n_items": I,
+               "n_factors": F, "ip": eng.n_ip, "k": args.k,
+               "client_batch_size": client_bs, "n_user_calls": n,
+               "client_users_per_s": round(n / client_dt, 1),
+               "engine_batches": nb,
+               "mean_users_per_engine_batch": round(n / max(nb, 1), 1),
+               "mean_wire_reqs_per_engine_batch": round(
+                   (daemon.n_batched_requests - r0) / max(nb, 1), 1),
                "backend": jax.default_backend()}
         results.append(rec)
         print(json.dumps(rec), flush=True)
