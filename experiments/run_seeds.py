@@ -38,6 +38,15 @@ import time
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 sys.path.insert(0, ROOT)
 
+# CU2REC_FORCE_CPU=1 pins the hermetic CPU backend BEFORE backend init
+# (the axon TPU plugin overrides JAX_PLATFORMS at import time, so the
+# plain env var does not work — same dance as tests/conftest.py).  Used
+# to measure seed sigma for cells whose programs the degraded remote
+# compile helper cannot build (ALS fused tiers, r4 environment note).
+if os.environ.get("CU2REC_FORCE_CPU") == "1":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from cu2rec_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
@@ -136,7 +145,8 @@ def main() -> int:
     p.add_argument("--seed-base", type=int, default=42)
     p.add_argument("--cells", nargs="+",
                    default=["ml100k-sgd", "ml100k-als", "ml20m-sgd"],
-                   choices=["ml100k-sgd", "ml100k-als", "ml20m-sgd"])
+                   choices=["ml100k-sgd", "ml100k-als", "ml20m-sgd",
+                            "ml20m-bf16"])
     p.add_argument("--iters", type=int, nargs="+", default=[5000, 10000])
     p.add_argument("--factors", type=int, nargs="+", default=[50, 300])
     p.add_argument("--workdir", default="/tmp/planted_ml20m")
@@ -149,7 +159,11 @@ def main() -> int:
     out_path = os.path.join(args.results_dir,
                             f"seeds-{stamp}-{git_commit()}.jsonl")
 
+    import jax
+    backend = jax.default_backend()
+
     def emit(rec):
+        rec = dict(rec, backend=backend)
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
@@ -193,22 +207,32 @@ def main() -> int:
                           sweeps=10, factors=factors, reg=0.1,
                           test_rmse=summarize(rows)))
 
-    if "ml20m-sgd" in args.cells:
+    ml20m_cells = [c for c in args.cells if c.startswith("ml20m")]
+    if ml20m_cells:
         train_csv, test_csv, floor = ensure_planted_ml20m(args.workdir)
         tr, te, mu = load_pair(train_csv, test_csv)
-        rows = []
-        for seed in seeds:
-            r = run_sgd(tr, te, mu, iters=5000, factors=50,
-                        collision="twin", seed=seed,
-                        train_eval_sample=2_000_000)
-            rec = dict(event="run", dataset="planted-ml20m", algo="sgd",
-                       collision="twin", iterations=5000, factors=50,
-                       seed=seed, noise_floor=floor, **r)
-            emit(rec)
-            rows.append(r)
-        emit(dict(event="cell", dataset="planted-ml20m", algo="sgd",
-                  collision="twin", iterations=5000, factors=50,
-                  noise_floor=floor, test_rmse=summarize(rows)))
+        for cell in ml20m_cells:
+            # ml20m-bf16 (VERDICT r4 item 4): the SAME flagship cell with
+            # bfloat16 factor tables, so its RMSE delta vs the f32 cell
+            # can be judged against the measured per-seed sigma.  One
+            # seed by default suffices once sigma is known; --seeds
+            # applies if a distribution is wanted.
+            dtype = "bfloat16" if cell == "ml20m-bf16" else "float32"
+            rows = []
+            for seed in seeds:
+                r = run_sgd(tr, te, mu, iters=5000, factors=50,
+                            collision="twin", seed=seed, dtype=dtype,
+                            train_eval_sample=2_000_000)
+                rec = dict(event="run", dataset="planted-ml20m",
+                           algo="sgd", collision="twin", iterations=5000,
+                           factors=50, dtype=dtype, seed=seed,
+                           noise_floor=floor, **r)
+                emit(rec)
+                rows.append(r)
+            emit(dict(event="cell", dataset="planted-ml20m", algo="sgd",
+                      collision="twin", iterations=5000, factors=50,
+                      dtype=dtype, noise_floor=floor,
+                      test_rmse=summarize(rows)))
 
     print(f"results -> {out_path}")
     return 0
