@@ -186,6 +186,7 @@ def main() -> None:
         "unit": "updates/s",
         "vs_baseline": round(ml20m_ups / cpu_ups, 2),
         "regressed": regressed,
+        "detail": {
             "backend": jax.default_backend(),
             "headline": {
                 "n_users": U, "n_items": I, "nnz": R, "n_factors": F,
