@@ -283,6 +283,7 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
     vectors cross the host↔device boundary, instead of the multi-GB
     padded bucket expansion (which made Netflix-scale ALS impractical
     through slow host links; docs/ROADMAP.md r1 known limits)."""
+    from cu2rec_tpu.utils.watchdog import stall_watchdog
     budget = budget or _chunk_budget()
     F1 = n_factors + 1
     cap_max = caps[-1]
@@ -315,8 +316,10 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
                 starts = jnp.asarray(padded(m["starts"], s, e),
                                      jnp.int32)
                 lens = jnp.asarray(padded(m["lens"], s, e), jnp.int32)
-                cols, vals, mask = _extract_rows_device(flat_i, flat_d,
-                                                        starts, lens, cap)
+                with stall_watchdog(
+                        f"device bucket extraction (cap={cap})"):
+                    cols, vals, mask = _extract_rows_device(
+                        flat_i, flat_d, starts, lens, cap)
                 # row_ids placed like cols/vals/mask (the host path shards
                 # them too): a replicated scatter index against sharded
                 # theta would force a per-chunk reshard every sweep.
@@ -332,8 +335,10 @@ def prepare_chunks_device(indices_dev, data_dev, indptr_host, n_factors: int,
             s0, s1 = int(seg_start[lo]), int(seg_end[hi - 1])
             starts = jnp.asarray(padded(m["starts"], s0, s1), jnp.int32)
             lens = jnp.asarray(padded(m["lens"], s0, s1), jnp.int32)
-            cols, vals, mask = _extract_rows_device(flat_i, flat_d,
-                                                    starts, lens, cap)
+            with stall_watchdog(
+                    f"device bucket extraction (heavy, cap={cap})"):
+                cols, vals, mask = _extract_rows_device(
+                    flat_i, flat_d, starts, lens, cap)
             chunks.append((
                 "heavy", cols, vals, mask,
                 jnp.asarray(padded(m["row_ids"], lo, hi,
@@ -470,11 +475,17 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
         return _eager_retry(eager_fn, T_self, regs, heavies)
     if group_k is None:
         group_k = _FUSED_GROUP_K
+    from cu2rec_tpu.utils.watchdog import stall_watchdog
     full_sig = (tag, _chunks_sig(regs), _chunks_sig(heavies))
     if not _sig_disabled(full_sig):
         try:
-            out = fused_fn(T_self, regs, heavies)
-            _check_fused_runtime(out, full_sig)
+            # A degraded remote compile helper can HANG (never answer)
+            # instead of erroring — this ladder only catches the raise,
+            # so the watchdog is the operator's signal that the compile
+            # RPC is wedged, not slow (measured repeatedly this round).
+            with stall_watchdog(f"{tag} full-fused compile/dispatch"):
+                out = fused_fn(T_self, regs, heavies)
+                _check_fused_runtime(out, full_sig)
             return out
         except jax.errors.JaxRuntimeError as e:
             _disable_fused(full_sig, e, tier="full")
@@ -489,8 +500,9 @@ def fused_dispatch(tag, T_self, fused_fn, eager_fn, regs, heavies,
             T = _eager_retry(eager_fn, T, regs_g, heavies_g)
             continue
         try:
-            out = fused_fn(T, regs_g, heavies_g)
-            _check_fused_runtime(out, gsig)
+            with stall_watchdog(f"{tag} group-fused compile/dispatch"):
+                out = fused_fn(T, regs_g, heavies_g)
+                _check_fused_runtime(out, gsig)
             T = out
         except jax.errors.JaxRuntimeError as e:
             _disable_fused(gsig, e, tier="group")

@@ -240,16 +240,22 @@ def _warmup(engine, cfg: Config, model: MFModel):
     """Compile every program the loop will need before the timer starts —
     the analogue of the reference's timer excluding memcpys
     (training.cu:18-19): we exclude XLA compilation, not work."""
+    from cu2rec_tpu.utils.watchdog import stall_watchdog
     hp = Hyper(jnp.float32(cfg.learning_rate), jnp.float32(cfg.P_reg),
                jnp.float32(cfg.Q_reg), jnp.float32(cfg.user_bias_reg),
                jnp.float32(cfg.item_bias_reg))
     throwaway = jax.tree.map(jnp.copy, model)
     # n_steps is a dynamic bound: one run compiles the program for every
     # segment length; run it twice so first-dispatch warmup is also paid.
-    throwaway = engine.run(throwaway, hp, 0, 1)
-    throwaway = engine.run(throwaway, hp, 1, 1)
-    engine.evaluate(throwaway, "train")
-    engine.evaluate(throwaway, "test")
+    # The watchdog surfaces a WEDGED remote compile (blocked, no error,
+    # no CPU — observed r4/r5) that would otherwise look like a freeze
+    # at the hyperparameter banner.
+    with stall_watchdog("training-step warmup compile"):
+        throwaway = engine.run(throwaway, hp, 0, 1)
+        throwaway = engine.run(throwaway, hp, 1, 1)
+    with stall_watchdog("eval warmup compile"):
+        engine.evaluate(throwaway, "train")
+        engine.evaluate(throwaway, "test")
 
 
 def train_with_engine(engine, cfg: Config, model: MFModel,

@@ -178,3 +178,48 @@ def test_engine_grows_supplied_model():
                         logger=MetricsLogger())
     assert out.P.shape[0] == 5 and out.Q.shape[0] == 5
     assert np.isfinite(list(losses.values())).all()
+
+
+def test_stall_watchdog_heartbeat_and_silence():
+    """The stall watchdog (utils/watchdog.py) prints an escalating
+    heartbeat once a wrapped block exceeds its threshold — the operator
+    signal for a WEDGED remote compile (blocked forever, no error, so
+    the ALS tier ladder never fires; observed r4/r5) — and stays
+    completely silent for fast blocks."""
+    import io
+    import time
+
+    from cu2rec_tpu.utils.watchdog import stall_watchdog
+
+    # fast block: no output, no lingering threads
+    buf = io.StringIO()
+    with stall_watchdog("fast thing", after_s=5.0, stream=buf):
+        pass
+    assert buf.getvalue() == ""
+
+    # slow block: at least one heartbeat naming the region + the escapes
+    buf = io.StringIO()
+    with stall_watchdog("wedged compile", after_s=0.05, every_s=0.05,
+                        stream=buf):
+        time.sleep(0.35)
+    out = buf.getvalue()
+    assert "wedged compile" in out and "blocked for" in out
+    assert "CU2REC_ALS_BUDGET" in out  # the documented escape hatch
+    assert out.count("[cu2rec watchdog]") >= 2  # escalates, not one-shot
+
+    # exception transparency: the watchdog never swallows the error
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        with stall_watchdog("raising block", after_s=60.0):
+            raise RuntimeError("boom")
+
+    # env kill-switch
+    import os
+    buf = io.StringIO()
+    os.environ["CU2REC_WATCHDOG"] = "0"
+    try:
+        with stall_watchdog("disabled", after_s=0.01, stream=buf):
+            time.sleep(0.05)
+    finally:
+        del os.environ["CU2REC_WATCHDOG"]
+    assert buf.getvalue() == ""
