@@ -105,9 +105,16 @@ def run_sgd(train_csr, test_csr, mu, *, iters, factors, collision, seed,
     wall = time.perf_counter() - t0
     evals = [r for r in logger.history if r["event"] == "eval"]
     last = evals[-1] if evals else {}
+    # the trainer's own timer excludes warmup/compile (training.cu:18-19
+    # analogue) — report both
+    times = [r for r in logger.history if r["event"] == "time"]
+    train_s = times[-1]["seconds"] if times else None
     return dict(test_rmse=last.get("test_rmse"),
                 test_mae=last.get("test_mae"),
-                train_rmse=last.get("train_rmse"), wall_s=round(wall, 2))
+                train_rmse=last.get("train_rmse"), wall_s=round(wall, 2),
+                train_s=round(train_s, 2) if train_s else None,
+                updates_per_s=round(train_csr.n_users * iters / train_s, 1)
+                if train_s else None)
 
 
 def run_als(train_csr, test_csr, mu, *, sweeps, factors, reg, seed,
@@ -146,7 +153,7 @@ def main() -> int:
     p.add_argument("--cells", nargs="+",
                    default=["ml100k-sgd", "ml100k-als", "ml20m-sgd"],
                    choices=["ml100k-sgd", "ml100k-als", "ml20m-sgd",
-                            "ml20m-bf16"])
+                            "ml20m-bf16", "ml100k-bpr", "ml100k-ials"])
     p.add_argument("--iters", type=int, nargs="+", default=[5000, 10000])
     p.add_argument("--factors", type=int, nargs="+", default=[50, 300])
     p.add_argument("--workdir", default="/tmp/planted_ml20m")
@@ -168,7 +175,7 @@ def main() -> int:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
 
-    if "ml100k-sgd" in args.cells or "ml100k-als" in args.cells:
+    if any(c.startswith("ml100k") for c in args.cells):
         tr, te, mu = load_pair(os.path.join(ROOT, "data",
                                             "ml100k_ratings_train.csv"),
                                os.path.join(ROOT, "data",
@@ -206,6 +213,59 @@ def main() -> int:
                 emit(dict(event="cell", dataset="ml100k", algo="als",
                           sweeps=10, factors=factors, reg=0.1,
                           test_rmse=summarize(rows)))
+
+        # Implicit-family σ (beyond the r4 verdict's flagship list): the
+        # ranking metrics get the same statistical footing as RMSE.
+        if "ml100k-bpr" in args.cells:
+            from cu2rec_tpu.train.bpr import train_bpr
+            rows = []
+            for seed in seeds:
+                from cu2rec_tpu.utils.config import Config
+                from cu2rec_tpu.utils.metrics import MetricsLogger
+                cfg = Config(total_iterations=1000, n_factors=32,
+                             learning_rate=0.05, seed=seed,
+                             check_error=250)
+                logger = MetricsLogger(verbose=False)
+                t0 = time.time()
+                train_bpr(tr, te, cfg, logger=logger)
+                evals = [r for r in logger.history
+                         if r["event"] == "eval"]
+                last = evals[-1] if evals else {}
+                r = dict(auc=last.get("auc"),
+                         recall_at_k=last.get("recall_at_k"),
+                         ndcg_at_k=last.get("ndcg_at_k"),
+                         wall_s=round(time.time() - t0, 2))
+                emit(dict(event="run", dataset="ml100k", algo="bpr",
+                          iterations=1000, factors=32, seed=seed, **r))
+                rows.append(dict(test_rmse=r["auc"]))  # summarize AUC
+            emit(dict(event="cell", dataset="ml100k", algo="bpr",
+                      iterations=1000, factors=32,
+                      auc=summarize(rows)))
+        if "ml100k-ials" in args.cells:
+            from cu2rec_tpu.train.ials import train_ials
+            rows = []
+            for seed in seeds:
+                from cu2rec_tpu.utils.config import Config
+                from cu2rec_tpu.utils.metrics import MetricsLogger
+                cfg = Config(total_iterations=8, n_factors=64, seed=seed,
+                             P_reg=0.1, Q_reg=0.1)
+                logger = MetricsLogger(verbose=False)
+                t0 = time.time()
+                train_ials(tr, te, cfg, alpha=40.0, logger=logger)
+                evals = [r for r in logger.history
+                         if r["event"] == "eval"]
+                last = evals[-1] if evals else {}
+                r = dict(auc=last.get("auc"),
+                         recall_at_k=last.get("recall_at_k"),
+                         ndcg_at_k=last.get("ndcg_at_k"),
+                         wall_s=round(time.time() - t0, 2))
+                emit(dict(event="run", dataset="ml100k", algo="ials",
+                          sweeps=8, factors=64, alpha=40.0, seed=seed,
+                          **r))
+                rows.append(dict(test_rmse=r["auc"]))
+            emit(dict(event="cell", dataset="ml100k", algo="ials",
+                      sweeps=8, factors=64, alpha=40.0,
+                      auc=summarize(rows)))
 
     ml20m_cells = [c for c in args.cells if c.startswith("ml20m")]
     if ml20m_cells:
