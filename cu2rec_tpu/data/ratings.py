@@ -52,7 +52,28 @@ def _read_numpy(path: str, delimiter: str = ",", skip_header: int = 1):
     # fallback disagree with the native parser's (and the reference's,
     # util.cu:17-45) exact integer parse — the mapper would then assign
     # wrong first-appearance codes for extreme ids.
+    #
+    # Sniff ONE data line first: a file with float-formatted ids
+    # ("1.0") would otherwise pay a full strict-parse pass whose result
+    # is thrown away before the permissive re-read (2× parse time on
+    # exactly the files the fallback exists for).  The astype below
+    # still raises on mixed files the sniff mispredicts.
+    strict = True
     try:
+        with open(path) as f:
+            for _ in range(skip_header):
+                f.readline()
+            first = f.readline().strip()
+        if first:
+            parts = [p.strip() for p in first.split(delimiter)]
+            int(parts[0]), int(parts[1])
+    except (ValueError, IndexError):
+        strict = False
+    except OSError:
+        pass  # let genfromtxt produce the canonical error below
+    try:
+        if not strict:
+            raise ValueError("float-formatted ids (sniffed)")
         # Read the id columns as strings and convert with the exact
         # int64 parse (astype raises on "1.0"-style ids rather than
         # silently filling, unlike genfromtxt's own int converter).

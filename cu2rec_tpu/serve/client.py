@@ -33,6 +33,28 @@ import threading
 from concurrent.futures import Future
 
 
+class _StripId:
+    """Future adapter for resubmitted single-user requests: resolves the
+    wrapped future with the response minus the wire ``id``, preserving
+    recommend()'s bare per-row shape contract."""
+
+    def __init__(self, fut: Future):
+        self._fut = fut
+
+    def set_result(self, resp):
+        if isinstance(resp, dict):
+            resp = {k: v for k, v in resp.items() if k != "id"}
+        if not self._fut.done():
+            self._fut.set_result(resp)
+
+    def set_exception(self, e):
+        if not self._fut.done():
+            self._fut.set_exception(e)
+
+    def done(self):
+        return self._fut.done()
+
+
 class ServeClient:
     """Pipelined JSONL client over one daemon connection.
 
@@ -67,7 +89,8 @@ class ServeClient:
         self._lock = threading.Lock()          # buffer + table state
         self._wlock = threading.Lock()         # serializes wire writes
         self._in_flight: dict[int, Future] = {}
-        self._batch_fanout: dict[int, list[Future]] = {}
+        # rid -> (k, [(user, fut), ...]) for batch 'users' requests
+        self._batch_fanout: dict[int, tuple] = {}
         self._buf: list[tuple[int, Future]] = []   # (user, fut)
         self._buf_k: int | None = None
         self._sem = threading.BoundedSemaphore(max_in_flight)
@@ -150,8 +173,8 @@ class ServeClient:
         with self._lock:
             self._closed = True
             waiting = list(self._in_flight.values())
-            for fans in self._batch_fanout.values():
-                waiting.extend(fans)
+            for _k, members in self._batch_fanout.values():
+                waiting.extend(f for _u, f in members)
         for f in waiting:
             try:
                 f.exception(timeout=60.0)
@@ -186,14 +209,14 @@ class ServeClient:
         return (k, buf)
 
     def _send_batch(self, batch) -> None:
+        # Always the batch op, even for one user: every recommend()
+        # future then resolves to the SAME bare per-row shape
+        # ({"items": ..., "scores": ...}) regardless of how the flush
+        # happened to group it.
         k, buf = batch
-        if len(buf) == 1:
-            user, fut = buf[0]
-            self._send({"op": "recommend", "user": user, "k": k}, fut)
-            return
         fut: Future = Future()
         self._send({"op": "recommend", "users": [u for u, _ in buf],
-                    "k": k}, fut, fans=[f for _, f in buf])
+                    "k": k}, fut, fans=(k, list(buf)))
 
     def _submit(self, req: dict) -> Future:
         fut: Future = Future()
@@ -226,7 +249,7 @@ class ServeClient:
             self._sem.release()
             fut.set_exception(e)
             if fans:
-                for f in fans:
+                for _u, f in fans[1]:
                     f.set_exception(e)
         return rid
 
@@ -240,12 +263,22 @@ class ServeClient:
                 self._dispatch(resp)
         except Exception:
             pass
-        # EOF / error: fail anything still outstanding.
+        # EOF / error: fail anything still outstanding.  Release one
+        # semaphore permit per popped wire request — otherwise senders
+        # (and close()'s flush) block forever in _sem.acquire() once the
+        # connection dies with max_in_flight requests outstanding.
         with self._lock:
             leftovers = list(self._in_flight.values())
             self._in_flight.clear()
-            fans = [f for fs in self._batch_fanout.values() for f in fs]
+            fans = [f for _k, fs in self._batch_fanout.values()
+                    for _u, f in fs]
             self._batch_fanout.clear()
+            self._closed = True   # no more sends on a dead connection
+        for _ in leftovers:
+            try:
+                self._sem.release()
+            except ValueError:    # BoundedSemaphore over-release guard
+                pass
         for f in leftovers + fans:
             if not f.done():
                 f.set_exception(ConnectionError("daemon connection closed"))
@@ -259,12 +292,34 @@ class ServeClient:
             return  # unknown id (daemon-side parse error rows carry None)
         self._sem.release()
         if fans is not None:
+            k, members = fans
             results = resp.get("results")
-            if results is None:   # whole-batch error: propagate to all
-                for f in fans:
-                    f.set_result(resp)
+            if results is None:
+                # Whole-batch rejection (the daemon validates batch
+                # 'users' requests wholesale): one bad id must not
+                # poison co-batched callers — resubmit every member as
+                # its own single-user request so each gets its own
+                # verdict.  Resubmission happens OFF the reader thread:
+                # _send can block on the in-flight semaphore, which only
+                # this thread releases.
                 fut.set_result(resp)
+                threading.Thread(target=self._resubmit_singles,
+                                 args=(k, members), daemon=True,
+                                 name="cu2rec-client-resubmit").start()
                 return
-            for f, r in zip(fans, results):
+            for (_u, f), r in zip(members, results):
                 f.set_result(r)
         fut.set_result(resp)
+
+    def _resubmit_singles(self, k: int, members) -> None:
+        for user, f in members:
+            try:
+                with self._lock:
+                    dead = self._closed
+                if dead:
+                    raise ConnectionError("daemon connection closed")
+                self._send({"op": "recommend", "user": int(user),
+                            "k": k}, _StripId(f))
+            except Exception as e:
+                if not f.done():
+                    f.set_exception(e)

@@ -20,9 +20,11 @@ ships: compile cache warm-up, `CU2REC_ALS_BUDGET`, the CPU backend).
     with stall_watchdog("ALS half-sweep compile", after_s=120):
         out = fused_fn(T, regs, heavies)   # may hang in remote compile
 
-Zero overhead when the region completes before ``after_s`` (one timer
-object).  ``CU2REC_WATCHDOG=0`` disables globally; ``CU2REC_WATCHDOG``
-seconds overrides the default threshold.
+Cost when the region completes before ``after_s``: one short-lived
+daemon thread parked in ``Event.wait`` (spawned per wrapped region,
+released the moment the region exits).  ``CU2REC_WATCHDOG=0`` (any
+non-positive number, or off/false/no) disables globally;
+``CU2REC_WATCHDOG=<seconds>`` overrides the default threshold.
 """
 
 from __future__ import annotations
@@ -45,12 +47,15 @@ def _threshold(after_s: float | None) -> float | None:
     """Resolve the warning threshold; None disables the watchdog."""
     env = os.environ.get("CU2REC_WATCHDOG")
     if env is not None:
-        if env.strip() in ("0", "off", "false", ""):
+        if env.strip().lower() in ("off", "false", "no", ""):
             return None
         try:
-            return float(env)
+            v = float(env)
         except ValueError:
             return after_s
+        # Any non-positive number means "off" (0, 0.0, -1, ...) — a 0.0
+        # threshold would otherwise fire a heartbeat on every region.
+        return v if v > 0 else None
     return after_s
 
 
@@ -70,11 +75,9 @@ def stall_watchdog(what: str, after_s: float = 120.0,
     done = threading.Event()
 
     def beat():
-        n = 0
         if done.wait(threshold):
             return
         while True:
-            n += 1
             mins = (time.monotonic() - t0) / 60.0
             print(f"[cu2rec watchdog] {what}: blocked for {mins:.1f} min "
                   f"with no progress; {_HINT}", file=out, flush=True)

@@ -59,18 +59,15 @@ def main() -> int:
     p.add_argument("--tag", default="")
     args = p.parse_args()
 
-    from cu2rec_tpu.data import build_csr, read_ratings_csv
     from cu2rec_tpu.serve.engine import ShardedServingEngine
     from cu2rec_tpu.serve.recommend import foldin_ranking_eval, ranking_eval
     from cu2rec_tpu.utils.config import Config
     from cu2rec_tpu.utils.metrics import MetricsLogger
 
-    train_rd = read_ratings_csv(args.train)
-    test_rd = read_ratings_csv(args.test)
-    n_users = max(train_rd.n_users, test_rd.n_users)
-    n_items = max(train_rd.n_items, test_rd.n_items)
-    train_csr = build_csr(train_rd, n_users=n_users, n_items=n_items)
-    test_csr = build_csr(test_rd, n_users=n_users, n_items=n_items)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_seeds import load_pair  # shared-id-space CSR pair loader
+
+    train_csr, test_csr, mu = load_pair(args.train, args.test)
     quiet = MetricsLogger(verbose=False)
 
     t0 = time.perf_counter()
@@ -81,7 +78,7 @@ def main() -> int:
                        user_bias_reg=args.reg, item_bias_reg=args.reg,
                        train_eval_sample=2_000_000)
         model, losses = train_als(train_csr, test_csr, cfg_t,
-                                  train_rd.global_bias, logger=quiet)
+                                  mu, logger=quiet)
         final_quality = {"test_rmse": losses[max(losses)]}
         mode = "sgd"
     else:

@@ -37,6 +37,7 @@ import time
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # CU2REC_FORCE_CPU=1 pins the hermetic CPU backend BEFORE backend init
 # (the axon TPU plugin overrides JAX_PLATFORMS at import time, so the
@@ -52,16 +53,12 @@ from cu2rec_tpu.utils.cache import enable_compile_cache
 enable_compile_cache()
 
 
-def git_commit() -> str:
-    try:
-        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                              capture_output=True, text=True,
-                              check=True).stdout.strip()
-    except Exception:
-        return "unknown"
+from run_grid import git_commit  # single provenance-stamp implementation
 
 
 def load_pair(train_csv: str, test_csv: str):
+    """Shared-id-space CSR pair (the cli/mf.py convention; also used by
+    foldin_quality_probe)."""
     from cu2rec_tpu.data import build_csr, read_ratings_csv
     train_rd = read_ratings_csv(train_csv)
     test_rd = read_ratings_csv(test_csv)

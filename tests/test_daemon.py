@@ -492,6 +492,72 @@ def test_serve_client_auto_batches(served, tmp_path):
         assert "error" not in lone
 
 
+def test_serve_client_isolates_bad_user_in_batch(served, tmp_path):
+    """The daemon rejects a batch 'users' request wholesale when ANY id
+    is invalid; the client must not let that poison co-batched callers —
+    it resubmits the members as single-user requests so only the bad id
+    gets the error."""
+    import threading
+
+    from cu2rec_tpu.serve.client import ServeClient
+    from cu2rec_tpu.serve.daemon import run_socket
+
+    daemon, _, csr, _ = served
+    path = str(tmp_path / "serve_iso.sock")
+    threading.Thread(target=run_socket, args=(daemon, path),
+                     daemon=True).start()
+    deadline = time.monotonic() + 10
+    while not os.path.exists(path):
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+
+    with ServeClient(path, batch_size=2, flush_after_ms=200.0) as c:
+        good = c.recommend(0, k=2)
+        bad = c.recommend(csr.n_users + 99, k=2)  # out of range
+        r_good = good.result(timeout=30)
+        r_bad = bad.result(timeout=30)
+    assert "error" not in r_good and len(r_good["items"]) >= 1
+    assert "id" not in r_good  # bare per-row shape, even resubmitted
+    assert "error" in r_bad
+
+
+def test_serve_client_survives_dead_connection(tmp_path):
+    """A dying daemon connection fails outstanding futures with
+    ConnectionError AND releases their in-flight semaphore permits —
+    close() must return, not block forever in _sem.acquire()."""
+    import socket
+    import threading
+
+    from cu2rec_tpu.serve.client import ServeClient
+
+    path = str(tmp_path / "dead.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(1)
+    conns = []
+
+    def accept_then_hang():
+        conn, _ = srv.accept()
+        conns.append(conn)
+        time.sleep(0.3)
+        conn.close()          # daemon "crashes" with requests in flight
+
+    threading.Thread(target=accept_then_hang, daemon=True).start()
+    c = ServeClient(path, batch_size=4, flush_after_ms=1.0,
+                    max_in_flight=2)
+    futs = [c.recommend(u, k=2) for u in range(4)]
+    c.flush()
+    for f in futs:
+        with pytest.raises(ConnectionError):
+            f.result(timeout=30)
+    t0 = time.monotonic()
+    c.close()                 # must not hang on leaked permits
+    assert time.monotonic() - t0 < 10
+    with pytest.raises(RuntimeError, match="client closed"):
+        c.recommend(0)
+    srv.close()
+
+
 def test_serve_cli_checkpoint_stdio(tmp_path, data_dir, monkeypatch,
                                     capsys):
     """Full CLI journey: train → checkpoint → cu2rec-serve over stdio."""
