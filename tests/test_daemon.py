@@ -521,6 +521,56 @@ def test_serve_client_isolates_bad_user_in_batch(served, tmp_path):
     assert "error" in r_bad
 
 
+def test_serve_client_thread_stress(served, tmp_path):
+    """Many caller threads hammering recommend()/fold_in concurrently:
+    every future resolves to a correct-shaped response, nothing
+    deadlocks, and the client's auto-batching keeps wire requests well
+    under the call count."""
+    import threading
+
+    from cu2rec_tpu.serve.client import ServeClient
+    from cu2rec_tpu.serve.daemon import run_socket
+
+    daemon, _, csr, _ = served
+    path = str(tmp_path / "serve_stress.sock")
+    threading.Thread(target=run_socket, args=(daemon, path),
+                     daemon=True).start()
+    deadline = time.monotonic() + 10
+    while not os.path.exists(path):
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+
+    n_threads, per = 8, 25
+    errs: list = []
+    n_req0 = daemon.n_requests
+    with ServeClient(path, batch_size=16, flush_after_ms=2.0,
+                     max_in_flight=8) as c:
+        def worker(t):
+            try:
+                futs = [c.recommend((t * per + j) % csr.n_users, k=2)
+                        for j in range(per)]
+                if t % 2 == 0:
+                    futs.append(c.fold_in([0, 1], [4.0, 3.0], k=2,
+                                          iterations=3))
+                for f in futs:
+                    r = f.result(timeout=60)
+                    if "error" in r or "items" not in r:
+                        errs.append(r)
+            except Exception as e:  # noqa: BLE001 — collect, assert below
+                errs.append(repr(e))
+
+        ts = [threading.Thread(target=worker, args=(t,))
+              for t in range(n_threads)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+            assert not t.is_alive(), "worker deadlocked"
+    assert not errs, errs[:3]
+    wire = daemon.n_requests - n_req0
+    assert wire < n_threads * per  # auto-batching actually batched
+
+
 def test_serve_client_survives_dead_connection(tmp_path):
     """A dying daemon connection fails outstanding futures with
     ConnectionError AND releases their in-flight semaphore permits —
