@@ -54,6 +54,10 @@ class _StripId:
     def done(self):
         return self._fut.done()
 
+    def exception(self, timeout=None):
+        # close() waits on in-flight entries via .exception()
+        return self._fut.exception(timeout=timeout)
+
 
 class ServeClient:
     """Pipelined JSONL client over one daemon connection.
