@@ -434,9 +434,12 @@ def _eager_retry(eager_fn, T, regs_g, heavies_g, tries: int = 3,
     idempotent: retry it a couple of times with backoff before giving up.
     Non-compile-service errors re-raise immediately."""
     import time as _time
+
+    from cu2rec_tpu.utils.watchdog import stall_watchdog
     for attempt in range(tries):
         try:
-            return eager_fn(T, regs_g, heavies_g)
+            with stall_watchdog("per-chunk compile/dispatch"):
+                return eager_fn(T, regs_g, heavies_g)
         except jax.errors.JaxRuntimeError as e:
             if attempt + 1 >= tries or "remote_compile" not in str(e):
                 raise
