@@ -213,13 +213,26 @@ def test_stall_watchdog_heartbeat_and_silence():
         with stall_watchdog("raising block", after_s=60.0):
             raise RuntimeError("boom")
 
-    # env kill-switch
+    # env kill-switch: every disable spelling, including the 0.0 and
+    # case variants that previously slipped through (review r5)
     import os
+    for off in ("0", "0.0", "-1", "off", "OFF", "False", "no", ""):
+        buf = io.StringIO()
+        os.environ["CU2REC_WATCHDOG"] = off
+        try:
+            with stall_watchdog("disabled", after_s=0.01, stream=buf):
+                time.sleep(0.05)
+        finally:
+            del os.environ["CU2REC_WATCHDOG"]
+        assert buf.getvalue() == "", f"CU2REC_WATCHDOG={off!r} not off"
+
+    # env override: a positive number replaces the call-site threshold
     buf = io.StringIO()
-    os.environ["CU2REC_WATCHDOG"] = "0"
+    os.environ["CU2REC_WATCHDOG"] = "0.05"
     try:
-        with stall_watchdog("disabled", after_s=0.01, stream=buf):
-            time.sleep(0.05)
+        with stall_watchdog("overridden", after_s=60.0, every_s=0.05,
+                            stream=buf):
+            time.sleep(0.2)
     finally:
         del os.environ["CU2REC_WATCHDOG"]
-    assert buf.getvalue() == ""
+    assert "overridden" in buf.getvalue()
