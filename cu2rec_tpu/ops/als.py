@@ -391,12 +391,22 @@ def als_half_sweep(T_self, T_other, bucketed, mu,
     mu32 = jnp.float32(mu)
 
     def eager_fn(T, regs_g, heavies_g):
+        # Block after every chunk: eager dispatch is async, and each
+        # chunk's _scatter_theta materializes a FRESH full table — at
+        # Netflix F=300 (584 MB user table) letting ~20 chunk updates
+        # queue up keeps ~20 live table copies and OOMs the 16 GB HBM
+        # (measured r5: RESOURCE_EXHAUSTED on the first post-sweep
+        # fetch).  The block bounds liveness to ~2 copies; the ~7 ms
+        # dispatch latency per chunk is noise on this fallback path
+        # (the fused tiers keep the async overlap).
         for ch in regs_g:
-            T = _als_apply_reg(T, T_other, ch, mu32, reg, F,
-                               weight_by_degree, solver)
+            T = jax.block_until_ready(
+                _als_apply_reg(T, T_other, ch, mu32, reg, F,
+                               weight_by_degree, solver))
         for ch in heavies_g:
-            T = _als_apply_heavy(T, T_other, ch, mu32, reg, F,
-                                 weight_by_degree, solver)
+            T = jax.block_until_ready(
+                _als_apply_heavy(T, T_other, ch, mu32, reg, F,
+                                 weight_by_degree, solver))
         return T
 
     if not fused:

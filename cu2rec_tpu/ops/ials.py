@@ -132,9 +132,12 @@ def _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver,
     # Barrier per chunk: stops XLA hoisting every chunk's T_other gather
     # to the program start when the body is jitted whole (see
     # ops/als._als_half_sweep_fused — the unserialized form OOMed HBM).
-    # The eager fallback path passes barrier=False: per-chunk dispatch is
-    # already serialized, and an eager optimization_barrier over the full
-    # factor table would just add one wasted dispatch per chunk.
+    # The eager fallback path (barrier=False) instead BLOCKS per chunk:
+    # eager dispatch is async, and each chunk's .at[].set materializes a
+    # fresh full table, so letting ~20 chunk updates queue keeps ~20
+    # live table copies — the measured r5 Netflix-F=300 OOM (see
+    # ops/als.eager_fn).  Blocking bounds liveness to ~2 copies at ~7 ms
+    # dispatch latency per chunk, noise on this fallback path.
     G = gramian(T_other)
     T_new = T_self
     for cols, vals, mask, rows in regs:
@@ -145,6 +148,8 @@ def _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver,
         theta = _solve_ials_bucket(T_dep, G, cols, vals, mask, a, r,
                                    solver=solver)
         T_new = T_new.at[rows].set(theta.astype(T_self.dtype), mode="drop")
+        if not barrier:
+            T_new = jax.block_until_ready(T_new)
     for cols, vals, mask, rows, s0, s1, _deg in heavies:
         if barrier:
             T_dep, T_new = jax.lax.optimization_barrier((T_other, T_new))
@@ -153,6 +158,8 @@ def _ials_sweep_body(T_self, T_other, regs, heavies, a, r, solver,
         theta = _solve_ials_heavy(T_dep, G, cols, vals, mask, s0, s1,
                                   a, r, solver=solver)
         T_new = T_new.at[rows].set(theta.astype(T_self.dtype), mode="drop")
+        if not barrier:
+            T_new = jax.block_until_ready(T_new)
     return T_new
 
 
