@@ -167,11 +167,26 @@ def _eval_jit(model: MFModel, dev: DeviceRatings, chunk_size: int):
     return jnp.sqrt(sse / denom), sae / denom
 
 
+def _cap_eval_chunk(chunk_size: int, width: int) -> int:
+    """Width-aware eval chunk: keep each scan step's gathered-row
+    scratch (a few × chunk × width × 4 B) bounded so wide-table evals
+    don't OOM alongside a resident solver working set.  512 MiB per
+    gathered array leaves the F<=128 chunking exactly as measured
+    (1 Mi rows); at F=300 (W=304) it caps at ~426 K rows — the r5
+    Netflix-F=300 per-chunk ALS journey OOMed in eval without this.
+    """
+    cap = (512 << 20) // max(width * 4, 1)
+    if cap >= chunk_size:
+        return chunk_size
+    return max((cap // 16384) * 16384, 16384)
+
+
 def evaluate(model: MFModel, dev: DeviceRatings,
              chunk_size: int = 1 << 20):
     """(RMSE, MAE) over a device ratings set — the equivalent of
     ``calculate_loss_gpu`` + ``get_error_metrics_gpu`` (loss.cu:40-49,
     150-200)."""
+    chunk_size = _cap_eval_chunk(chunk_size, model.P.shape[1])
     rmse, mae = _eval_jit(model, dev, chunk_size)
     return float(rmse), float(mae)
 
@@ -209,6 +224,7 @@ def _eval_packed_jit(pm, dev: DeviceRatings, chunk_size: int):
 
 
 def evaluate_packed(pm, dev: DeviceRatings, chunk_size: int = 1 << 20):
+    chunk_size = _cap_eval_chunk(chunk_size, pm.width)
     rmse, mae = _eval_packed_jit(pm, dev, chunk_size)
     return float(rmse), float(mae)
 
