@@ -66,9 +66,6 @@ class Hyper(NamedTuple):
             cfg.user_bias_reg, cfg.item_bias_reg)))
 
 
-_M32 = jnp.uint32(0xFFFFFFFF)
-
-
 def _fmix32(x: jax.Array) -> jax.Array:
     """murmur3 finalizer: full-avalanche 32-bit integer mix."""
     x = x ^ (x >> 16)

@@ -13,8 +13,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-3.0e38)
+# numpy scalar, not jnp: a module-level jnp constant initializes the JAX
+# backend at IMPORT time, which blocks forever on a machine whose
+# accelerator runtime is unreachable (measured: the dead-relay hang,
+# docs/R5_CHANGES.md) — importing the package must not touch the device.
+NEG_INF = np.float32(-3.0e38)
 
 
 def mask_rated(scores: jax.Array, rated_items: jax.Array,

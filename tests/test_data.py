@@ -522,3 +522,32 @@ def test_mapper_negative_and_extreme_ids(tmp_path):
     got = list(zip(mu.tolist(), mi.tolist(), r.tolist()))
     assert got == [tuple(w) for w in want]
     assert um == um_ref and im == im_ref
+
+
+def test_package_import_does_not_init_backend():
+    """Importing cu2rec_tpu must not initialize the JAX backend: a
+    module-level jnp constant used to trigger device resolution at
+    import, which BLOCKS FOREVER on a machine whose accelerator runtime
+    is unreachable (the r5 dead-relay hang) — and makes every
+    subprocess that merely wants the numpy data path hostage to the
+    device.  Run in a fresh interpreter so prior test imports don't
+    mask the regression."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "def spy(*a, **k): raise SystemExit('backend init at import')\n"
+        "jax._src.xla_bridge.backends = spy\n"
+        "import cu2rec_tpu\n"
+        "import cu2rec_tpu.serve.engine, cu2rec_tpu.parallel.serving\n"
+        "import cu2rec_tpu.data.mapping, cu2rec_tpu.serve.client\n"
+        "print('IMPORT_PURE')\n" % repo)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=120,
+                         env={k: v for k, v in os.environ.items()
+                              if k != "CU2REC_PLATFORM"})
+    assert "IMPORT_PURE" in out.stdout, out.stdout + out.stderr
